@@ -1,0 +1,465 @@
+"""The compiled Mehrotra predictor-corrector IPM.
+
+``CompiledIPM`` binds a symbolic formulation (Settings -> Newton system ->
+augmented reduction, from :mod:`ipmzoo_tpu.formulations`) to concrete
+problem sizes and stages the ENTIRE solve — KKT assembly, LDL^T
+factorisation, predictor, fraction-to-boundary line search, Mehrotra
+centering, corrector, step — into one ``lax.while_loop`` compiled by XLA.
+
+Per-iteration structure (numerically equivalent to the reference driver,
+/root/reference/src/NumericalOptimization/Optimizer.cpp:77-220, with the
+interpreter walks replaced by trace-time staging):
+
+  1. residual norm and duality measure of the full KKT residual at mu=0
+  2. assemble the augmented KKT matrix; factor once (LDL^T, pivot floor)
+  3. affine predictor: residual vectors at mu=0, solve, back-substitute
+     eliminated variables via the symbolic delta definitions
+  4. ratio test over nonnegative variables (+ explicit box tests for the
+     Slacks formulations), trial step, mu_aff, sigma = (mu_aff/mu)^3
+  5. corrector: complementarity residuals re-centred with sigma*mu and
+     augmented by the affine correction Delta X_aff Delta S_aff e
+     (derived symbolically at compile time), second solve with the SAME
+     factorisation
+  6. step all variables by 0.995 * alpha
+
+Everything is a pure function of (state, data): vmap gives batched
+multi-QP solving, shard_map distributes batches over a device mesh.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..formulations import (Settings, VariableNames, augmented_system,
+                            build_symbols, delta_variable, newton_system,
+                            shorthand_rhs)
+from ..ops.ldlt import ldlt, solve_ldlt
+from ..symbolic import expr as E
+from . import codegen as cg
+from .data import QPData
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class SolveResult:
+    x: jnp.ndarray
+    variables: dict          # name -> value for every KKT variable
+    objective: jnp.ndarray
+    iterations: jnp.ndarray
+    residual: jnp.ndarray
+    gap: jnp.ndarray
+    converged: jnp.ndarray
+
+    def tree_flatten(self):
+        return ((self.x, self.variables, self.objective, self.iterations,
+                 self.residual, self.gap, self.converged), None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class IPMState:
+    """Carry of the on-device iteration loop."""
+    vars: tuple              # per-variable arrays, in system order
+    mu: jnp.ndarray
+    iteration: jnp.ndarray
+    residual: jnp.ndarray
+    gap: jnp.ndarray
+
+    def tree_flatten(self):
+        return ((self.vars, self.mu, self.iteration, self.residual,
+                 self.gap), None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves)
+
+
+class CompiledIPM:
+    """A formulation + problem-size specialised, fully staged IPM solver."""
+
+    def __init__(self, settings: Settings, n: int, m_ineq: int = 0,
+                 m_eq: int = 0, *, names: VariableNames = VariableNames(),
+                 dtype=jnp.float64, tol: float = 1e-8, max_iter: int = 100,
+                 fraction_to_boundary: float = 0.995, mu0: float = 1.0,
+                 delta0: float = 1e-4, pivot_floor: float = 1e-8):
+        self.settings = settings
+        self.n, self.m_ineq, self.m_eq = n, m_ineq, m_eq
+        self.dtype = dtype
+        self.tol = tol
+        self.max_iter = max_iter
+        self.fraction_to_boundary = fraction_to_boundary
+        self.mu0 = mu0
+        self.delta0 = delta0
+        self.pivot_floor = pivot_floor
+
+        o = build_symbols(names)
+        self.symbols = o
+
+        # --- symbolic derivation (compile time) --------------------------
+        full = newton_system(settings, names)
+        sh = shorthand_rhs(full)
+        reduced = full.copy()
+        reduced.rhs = list(sh.shorthand_rhs)
+        aug = augmented_system(reduced)
+        self.full, self.sh, self.aug = full, sh, aug
+
+        if any(aug.lhs[i][i] is E.ZERO for i in range(len(aug.lhs))):
+            raise NotImplementedError(
+                "augmented system has a symbolically zero diagonal block "
+                "(indefinite); use a formulation with a quasi-definite "
+                "augmented system")
+
+        # --- sizes, offsets, index maps ----------------------------------
+        size_of = {
+            o.x: n, o.s_x_l: n, o.s_x_u: n, o.lambda_sxl: n, o.lambda_sxu: n,
+            o.s_A_ineq: m_ineq, o.s_A_ineq_l: m_ineq, o.s_A_ineq_u: m_ineq,
+            o.lambda_A_ineq: m_ineq, o.lambda_sAineql: m_ineq,
+            o.lambda_sAinequ: m_ineq,
+            o.s_A_eq: m_eq, o.s_A_eq_l: m_eq, o.s_A_eq_u: m_eq, o.p_eq: m_eq,
+            o.lambda_A_eq: m_eq, o.lambda_sAeql: m_eq, o.lambda_sAequ: m_eq,
+        }
+        self.size_of = size_of
+        self.var_sizes = [size_of[v] for v in full.variables]
+        self.aug_sizes = [size_of[v] for v in aug.variables]
+        self.aug_dim = sum(self.aug_sizes)
+        self.var_index = {v: i for i, v in enumerate(full.variables)}
+
+        # delta symbol -> original variable
+        self.delta_to_var = {delta_variable(v): v for v in full.variables}
+        # affine delta symbols (bind predictor direction for the corrector)
+        self.affine_sym = {
+            v: E.variable(delta_variable(v).name + "_affine")
+            for v in full.variables}
+
+        # complementarity rows: contain an e-vector and mu
+        e_vecs = (o.e_var, o.e_ineq, o.e_eq)
+        def is_comp(expr):
+            return (any(expr.contains(ev) for ev in e_vecs) and
+                    expr.contains(o.mu))
+        self.comp_rows = [i for i, r in enumerate(full.rhs) if is_comp(r)]
+
+        # Corrector: the reference substitutes affine-delta symbols for the
+        # variables of each complementarity residual (Optimizer.cpp:183-209),
+        # which is only the true second-order Mehrotra term when the row is
+        # a pure product of variables (e.g. SlackedSlacks' G lambda - mu e).
+        # For Slacks-handling rows like (X - L) lambda - mu e it injects a
+        # spurious -L Delta-lambda term, and the reference stalls on its own
+        # demo QP.  We instead stage the exact quadratic Taylor remainder
+        #     corr_i = c_i(v + d_aff) - c_i(v) - J_i d_aff
+        # which coincides with the reference's corrector on the rows where
+        # that one is correct and fixes the rest (all rows are at most
+        # quadratic, so the remainder is exact).
+        self.corrector = [(vec, definition, is_comp(definition))
+                          for vec, definition in sh.vector_definitions]
+
+        # nonnegative variables (fraction-to-boundary set)
+        nonneg = {o.s_A_ineq_l, o.s_A_ineq_u, o.s_x_l, o.s_x_u, o.s_A_eq_l,
+                  o.s_A_eq_u, o.lambda_sAeql, o.lambda_sAequ,
+                  o.lambda_sAineql, o.lambda_sAinequ, o.lambda_sxl,
+                  o.lambda_sxu}
+        self.nonneg_idx = [i for i, v in enumerate(full.variables)
+                           if v in nonneg]
+
+        # explicit box ratio tests apply when the bound slacks were not
+        # introduced as variables (Slacks handling keeps l <= s <= u and
+        # l_x <= x <= u_x explicit)
+        var_set = set(full.variables)
+        self.box_test = (o.s_A_ineq_l not in var_set and
+                         o.s_A_ineq_u not in var_set)
+        self.x_has_lb = settings.variable_bounds.has_lower
+        self.x_has_ub = settings.variable_bounds.has_upper
+        self.s_has_lb = settings.inequalities.has_lower
+        self.s_has_ub = settings.inequalities.has_upper
+
+        # objective expression (plain QP objective, no barrier terms)
+        self.objective_expr = E.sum_expr([
+            E.product([E.number(0.5), E.transpose(o.x), o.Q, o.x]),
+            E.product([E.transpose(o.c), o.x])])
+
+        # jitted entry points
+        self._solve_jit = jax.jit(self._solve_impl)
+        self._step_jit = jax.jit(self._step_impl)
+
+    # ------------------------------------------------------------------
+    # environment plumbing
+    # ------------------------------------------------------------------
+
+    def _base_env(self, data: QPData, mu_val) -> cg.Env:
+        o = self.symbols
+        dt = self.dtype
+        ones = functools.partial(jnp.ones, dtype=dt)
+        return {
+            o.Q: cg.matrix(data.Q.astype(dt)),
+            o.c: cg.vector(data.c.astype(dt)),
+            o.A_ineq: cg.matrix(data.A_ineq.astype(dt)),
+            o.l_A_ineq: cg.vector(data.l_A_ineq.astype(dt)),
+            o.u_A_ineq: cg.vector(data.u_A_ineq.astype(dt)),
+            o.A_eq: cg.matrix(data.A_eq.astype(dt)),
+            o.b_eq: cg.vector(data.b_eq.astype(dt)),
+            o.l_x: cg.vector(data.l_x.astype(dt)),
+            o.u_x: cg.vector(data.u_x.astype(dt)),
+            o.delta_eq: cg.scalar(jnp.asarray(self.delta0, dt)),
+            o.mu: cg.scalar(jnp.asarray(mu_val, dt)),
+            o.e_var: cg.vector(ones(self.n)),
+            o.e_ineq: cg.vector(ones(self.m_ineq)),
+            o.e_eq: cg.vector(ones(self.m_eq)),
+        }
+
+    def _env(self, data: QPData, var_vals, mu_val) -> cg.Env:
+        env = self._base_env(data, mu_val)
+        for var, val in zip(self.full.variables, var_vals):
+            env[var] = cg.vector(val)
+        return env
+
+    # ------------------------------------------------------------------
+    # staged computations
+    # ------------------------------------------------------------------
+
+    def _metrics(self, env0):
+        """(residual norm, duality gap) of the full system at mu=0."""
+        memo = {}
+        vals = [cg.as_vector(cg.evaluate(r, env0, memo), sz)
+                for r, sz in zip(self.full.rhs, self.var_sizes)]
+        dt = self.dtype
+        if sum(self.var_sizes) == 0:
+            return jnp.asarray(0.0, dt), jnp.asarray(0.0, dt)
+        r = jnp.concatenate([v for v in vals]) if vals else jnp.zeros(0, dt)
+        residual = jnp.sqrt(jnp.dot(r, r))
+        comp = [vals[i] for i in self.comp_rows]
+        comp_size = sum(self.var_sizes[i] for i in self.comp_rows)
+        if comp_size == 0:
+            gap = jnp.asarray(0.0, dt)
+        else:
+            gap = jnp.sum(jnp.abs(jnp.concatenate(comp))) / comp_size
+        return residual, gap
+
+    def _assemble_kkt(self, env):
+        memo = {}
+        rows = []
+        for i, vi in enumerate(self.aug.variables):
+            si = self.aug_sizes[i]
+            row_blocks = []
+            for j, vj in enumerate(self.aug.variables):
+                sj = self.aug_sizes[j]
+                cell = self.aug.lhs[i][j]
+                if cell is E.ZERO:
+                    row_blocks.append(jnp.zeros((si, sj), self.dtype))
+                else:
+                    row_blocks.append(
+                        cg.as_block(cg.evaluate(cell, env, memo), si, sj))
+            rows.append(jnp.concatenate(row_blocks, axis=1)
+                        if len(row_blocks) > 1 else row_blocks[0])
+        return jnp.concatenate(rows, axis=0) if len(rows) > 1 else rows[0]
+
+    def _residual_env(self, env, mu_val, data=None, var_vals=None,
+                      affine_deltas=None):
+        """Bind the shorthand residual vectors r_{v} into a new env.
+
+        With ``affine_deltas`` given, complementarity residuals get the
+        exact second-order Mehrotra correction
+        ``c_i(v + d_aff) - c_i(v) - J_i d_aff`` added (corrector phase)."""
+        renv = dict(env)
+        renv[self.symbols.mu] = cg.scalar(jnp.asarray(mu_val, self.dtype))
+        memo = {}
+
+        corr_vals = None
+        if affine_deltas is not None:
+            corr_vals = {}
+            aff_point = tuple(v + d for v, d in
+                              zip(var_vals, affine_deltas))
+            aenv = self._env(data, aff_point, 0.0)
+            benv = self._env(data, var_vals, 0.0)
+            amemo, bmemo, jmemo = {}, {}, {}
+            for i, (vec, definition, comp) in enumerate(self.corrector):
+                if not comp:
+                    continue
+                c_shift = cg.evaluate(definition, aenv, amemo)
+                c_base = cg.evaluate(definition, benv, bmemo)
+                lin = None
+                for j, dj in enumerate(affine_deltas):
+                    cell = self.full.lhs[i][j]
+                    if cell is E.ZERO or dj.shape[0] == 0:
+                        continue
+                    term = cg.multiply_tv(cg.evaluate(cell, env, jmemo),
+                                          cg.vector(dj))
+                    lin = term if lin is None else cg.add_tv(lin, term)
+                corr = cg.add_tv(c_shift, cg.negate_tv(c_base))
+                if lin is not None:
+                    corr = cg.add_tv(corr, cg.negate_tv(lin))
+                corr_vals[vec] = corr
+
+        for (vec, definition, comp) in self.corrector:
+            val = cg.evaluate(definition, renv, memo)
+            if corr_vals is not None and vec in corr_vals:
+                val = cg.add_tv(val, corr_vals[vec])
+            renv[vec] = val
+        return renv
+
+    def _search_direction(self, L, D, renv):
+        """Solve the augmented system and back-substitute eliminated
+        variables via the symbolic delta definitions."""
+        memo = {}
+        parts = [cg.as_vector(cg.evaluate(r, renv, memo), sz)
+                 for r, sz in zip(self.aug.rhs, self.aug_sizes)]
+        b = (jnp.concatenate(parts) if parts
+             else jnp.zeros(0, self.dtype))
+        sol = solve_ldlt(L, D, b)
+
+        deltas = [None] * len(self.full.variables)
+        denv = dict(renv)
+        offset = 0
+        for var, sz in zip(self.aug.variables, self.aug_sizes):
+            val = jax.lax.dynamic_slice_in_dim(sol, offset, sz) \
+                if sz else jnp.zeros(0, self.dtype)
+            offset += sz
+            deltas[self.var_index[var]] = val
+            denv[delta_variable(var)] = cg.vector(val)
+        memo2 = {}
+        for dvar, ddef in reversed(self.aug.delta_definitions):
+            var = self.delta_to_var[dvar]
+            val = cg.as_vector(cg.evaluate(ddef, denv, memo2),
+                               self.size_of[var])
+            denv[dvar] = cg.vector(val)
+            deltas[self.var_index[var]] = val
+        return deltas
+
+    def _max_step(self, env, var_vals, deltas):
+        dt = self.dtype
+        alpha = jnp.asarray(1.0, dt)
+        inf = jnp.asarray(jnp.inf, dt)
+        for i in self.nonneg_idx:
+            v, d = var_vals[i], deltas[i]
+            if v.shape[0] == 0:
+                continue
+            ratio = jnp.where(d < 0, -v / jnp.where(d < 0, d, -1.0), inf)
+            alpha = jnp.minimum(alpha, jnp.min(ratio, initial=jnp.inf))
+        if self.box_test:
+            o = self.symbols
+            checks = []
+            if o.x in self.var_index:
+                checks.append((o.x, o.l_x if self.x_has_lb else None,
+                               o.u_x if self.x_has_ub else None))
+            if o.s_A_ineq in self.var_index:
+                checks.append((o.s_A_ineq,
+                               o.l_A_ineq if self.s_has_lb else None,
+                               o.u_A_ineq if self.s_has_ub else None))
+            for var, lb_sym, ub_sym in checks:
+                i = self.var_index[var]
+                v, d = var_vals[i], deltas[i]
+                if v.shape[0] == 0:
+                    continue
+                if lb_sym is not None:
+                    lb = env[lb_sym].val
+                    ratio = jnp.where(d < 0, (lb - v) / jnp.where(d < 0, d, -1.0), inf)
+                    alpha = jnp.minimum(alpha, jnp.min(ratio, initial=jnp.inf))
+                if ub_sym is not None:
+                    ub = env[ub_sym].val
+                    ratio = jnp.where(d > 0, (ub - v) / jnp.where(d > 0, d, 1.0), inf)
+                    alpha = jnp.minimum(alpha, jnp.min(ratio, initial=jnp.inf))
+        return alpha
+
+    # ------------------------------------------------------------------
+    # iteration / loop
+    # ------------------------------------------------------------------
+
+    def init_state(self, data: QPData) -> IPMState:
+        dt = self.dtype
+        o = self.symbols
+        init = {
+            o.x: 0.5 * (data.l_x + data.u_x).astype(dt),
+            o.s_A_ineq: 0.5 * (data.l_A_ineq + data.u_A_ineq).astype(dt),
+        }
+        vals = []
+        for v, sz in zip(self.full.variables, self.var_sizes):
+            vals.append(init.get(v, jnp.ones(sz, dt)))
+        env0 = self._env(data, vals, 0.0)
+        residual, gap = self._metrics(env0)
+        return IPMState(vars=tuple(vals), mu=jnp.asarray(self.mu0, dt),
+                        iteration=jnp.asarray(0, jnp.int32),
+                        residual=residual, gap=gap)
+
+    def _step_impl(self, state: IPMState, data: QPData) -> IPMState:
+        env = self._env(data, state.vars, state.mu)
+        gap = state.gap
+
+        # factor the augmented KKT once
+        K = self._assemble_kkt(env)
+        L, D = ldlt(K, self.pivot_floor)
+
+        # affine predictor (mu = 0)
+        renv = self._residual_env(env, 0.0)
+        d_aff = self._search_direction(L, D, renv)
+        alpha_aff = self._max_step(env, state.vars, d_aff)
+
+        # trial step -> mu_aff -> sigma
+        trial = tuple(v + alpha_aff * d
+                      for v, d in zip(state.vars, d_aff))
+        tenv = self._env(data, trial, 0.0)
+        _, gap_aff = self._metrics(tenv)
+        dt = self.dtype
+        safe_gap = jnp.where(gap > 0, gap, 1.0)
+        sigma = jnp.where(gap > 0, (gap_aff / safe_gap) ** 3, 0.0)
+        mu_new = (gap * sigma).astype(dt)
+
+        # corrector with recentred complementarity + affine correction
+        cenv = self._residual_env(env, mu_new, data=data,
+                                  var_vals=state.vars, affine_deltas=d_aff)
+        d_cc = self._search_direction(L, D, cenv)
+        alpha = self._max_step(env, state.vars, d_cc)
+        step = self.fraction_to_boundary * alpha
+        new_vars = tuple(v + step * d for v, d in zip(state.vars, d_cc))
+
+        nenv = self._env(data, new_vars, 0.0)
+        residual, new_gap = self._metrics(nenv)
+        return IPMState(vars=new_vars, mu=mu_new,
+                        iteration=state.iteration + 1,
+                        residual=residual, gap=new_gap)
+
+    def _solve_impl(self, data: QPData) -> SolveResult:
+        state0 = self.init_state(data)
+        tol = self.tol
+
+        def cond(state):
+            done = (state.residual < tol) & (state.gap < tol)
+            return (~done) & (state.iteration < self.max_iter)
+
+        state = jax.lax.while_loop(cond, lambda s: self._step_impl(s, data),
+                                   state0)
+        env = self._env(data, state.vars, state.mu)
+        f = cg.evaluate(self.objective_expr, env).val
+        x = state.vars[self.var_index[self.symbols.x]]
+        return SolveResult(
+            x=x,
+            variables={v.name: val for v, val in
+                       zip(self.full.variables, state.vars)},
+            objective=f,
+            iterations=state.iteration,
+            residual=state.residual,
+            gap=state.gap,
+            converged=(state.residual < tol) & (state.gap < tol),
+        )
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+
+    def solve(self, data: QPData) -> SolveResult:
+        """Solve one QP instance (jitted; first call compiles)."""
+        return self._solve_jit(data)
+
+    def step(self, state: IPMState, data: QPData) -> IPMState:
+        """One jitted IPM iteration (for benchmarking / inspection)."""
+        return self._step_jit(state, data)
+
+    def solve_batch(self, data: QPData) -> SolveResult:
+        """Solve a batch of QPs (leading batch axis on every leaf)."""
+        return jax.jit(jax.vmap(self._solve_impl))(data)

@@ -1,0 +1,107 @@
+"""Distributed Schur-complement IPM: correctness vs a dense monolithic
+solve, and equality of the sharded (shard_map + psum) and local paths."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ipmzoo_tpu.parallel.mesh import make_mesh
+from ipmzoo_tpu.parallel.schur import BlockQPData, SchurIPM
+
+
+def make_coupled(blocks, n, m_c, seed=0, dtype=jnp.float64):
+    rng = np.random.default_rng(seed)
+    M = rng.normal(size=(blocks, n, n))
+    Q = np.einsum("bij,bkj->bik", M, M) / n + np.eye(n)
+    return BlockQPData(
+        Q=jnp.asarray(Q, dtype),
+        c=jnp.asarray(rng.normal(size=(blocks, n)), dtype),
+        F=jnp.asarray(rng.normal(size=(blocks, m_c, n)) / blocks, dtype),
+        l_x=jnp.full((blocks, n), -3.0, dtype),
+        u_x=jnp.full((blocks, n), 3.0, dtype),
+        g=jnp.asarray(rng.normal(size=(m_c,)) * 0.1, dtype))
+
+
+def dense_reference(data: BlockQPData):
+    """Solve the coupled QP as one dense QP with scipy for cross-checking."""
+    from scipy import optimize
+    B, n = data.c.shape
+    m_c = data.g.shape[0]
+    Q = np.asarray(data.Q)
+    c = np.asarray(data.c).ravel()
+    F = np.concatenate([np.asarray(data.F)[b] for b in range(B)], axis=1)
+
+    def fun(x):
+        xb = x.reshape(B, n)
+        return float(0.5 * np.einsum("bi,bij,bj->", xb, Q, xb) + c @ x)
+
+    def jac(x):
+        xb = x.reshape(B, n)
+        return (np.einsum("bij,bj->bi", Q, xb).ravel() + c)
+
+    cons = optimize.LinearConstraint(F, np.asarray(data.g),
+                                     np.asarray(data.g))
+    bounds = optimize.Bounds(np.asarray(data.l_x).ravel(),
+                             np.asarray(data.u_x).ravel())
+    res = optimize.minimize(fun, np.zeros(B * n), jac=jac, method="SLSQP",
+                            constraints=[cons], bounds=bounds,
+                            options={"maxiter": 500, "ftol": 1e-12})
+    assert res.success, res.message
+    return res.x.reshape(B, n), res.fun
+
+
+class TestLocal:
+    def test_converges_and_matches_scipy(self):
+        data = make_coupled(blocks=4, n=5, m_c=2, seed=1)
+        ipm = SchurIPM(5, 2)
+        res = ipm.solve(data)
+        assert bool(res.converged)
+        x_ref, f_ref = dense_reference(data)
+        np.testing.assert_allclose(np.asarray(res.x), x_ref, atol=1e-5)
+        np.testing.assert_allclose(float(res.objective), f_ref, rtol=1e-6)
+
+    def test_coupling_feasibility(self):
+        data = make_coupled(blocks=6, n=4, m_c=3, seed=2)
+        ipm = SchurIPM(4, 3)
+        res = ipm.solve(data)
+        assert bool(res.converged)
+        coupling = np.einsum("bij,bj->i", np.asarray(data.F),
+                             np.asarray(res.x)) - np.asarray(data.g)
+        np.testing.assert_allclose(coupling, 0.0, atol=1e-7)
+
+    def test_active_bounds(self):
+        # strong linear term pushes x to the box bound
+        data = make_coupled(blocks=2, n=3, m_c=1, seed=3)
+        data = BlockQPData(Q=data.Q, c=data.c - 50.0, F=data.F * 0.0,
+                          l_x=data.l_x, u_x=data.u_x, g=data.g * 0.0)
+        ipm = SchurIPM(3, 1)
+        res = ipm.solve(data)
+        assert bool(res.converged)
+        np.testing.assert_allclose(np.asarray(res.x), 3.0, atol=1e-6)
+
+
+class TestSharded:
+    def test_sharded_equals_local(self):
+        n_dev = len(jax.devices())
+        assert n_dev == 8, "conftest should provide 8 virtual devices"
+        mesh = make_mesh((n_dev,), ("dp",))
+        data = make_coupled(blocks=2 * n_dev, n=4, m_c=2, seed=4)
+        ipm_local = SchurIPM(4, 2)
+        ipm_shard = SchurIPM(4, 2, mesh=mesh, axis="dp")
+        res_l = ipm_local.solve(data)
+        res_s = ipm_shard.solve_sharded(data)
+        assert bool(res_l.converged) and bool(res_s.converged)
+        np.testing.assert_allclose(np.asarray(res_s.x), np.asarray(res_l.x),
+                                   rtol=1e-8, atol=1e-8)
+        np.testing.assert_allclose(float(res_s.objective),
+                                   float(res_l.objective), rtol=1e-10)
+
+    def test_sharded_matches_scipy(self):
+        mesh = make_mesh((4,), ("dp",), jax.devices()[:4])
+        data = make_coupled(blocks=8, n=3, m_c=2, seed=5)
+        ipm = SchurIPM(3, 2, mesh=mesh, axis="dp")
+        res = ipm.solve_sharded(data)
+        assert bool(res.converged)
+        x_ref, f_ref = dense_reference(data)
+        np.testing.assert_allclose(np.asarray(res.x), x_ref, atol=1e-5)
