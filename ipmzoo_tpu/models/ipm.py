@@ -90,7 +90,8 @@ class CompiledIPM:
                  m_eq: int = 0, *, names: VariableNames = VariableNames(),
                  dtype=jnp.float64, tol: float = 1e-8, max_iter: int = 100,
                  fraction_to_boundary: float = 0.995, mu0: float = 1.0,
-                 delta0: float = 1e-4, pivot_floor: float = 1e-8):
+                 delta0: float = 1e-4, pivot_floor: float = 1e-8,
+                 refine: int = 0, kernel: str = "auto"):
         self.settings = settings
         self.n, self.m_ineq, self.m_eq = n, m_ineq, m_eq
         self.dtype = dtype
@@ -100,6 +101,20 @@ class CompiledIPM:
         self.mu0 = mu0
         self.delta0 = delta0
         self.pivot_floor = pivot_floor
+        #: extra iterative-refinement sweeps per linear solve (use 1-2 in
+        #: float32 to recover near-f64 direction accuracy on TPU)
+        self.refine = refine
+
+        # Factorisation kernels.  "auto": custom_vmap-wired — unbatched
+        # solves use the jnp LDL^T, while vmapped (batched) solves dispatch
+        # to the VMEM-resident Pallas kernels. "jnp": always the jnp path.
+        if kernel == "auto" and pivot_floor == 1e-8:
+            from ..ops.pallas_ldlt import ldlt_auto, solve_ldlt_auto
+            self._factor = ldlt_auto
+            self._solve_kernel = solve_ldlt_auto
+        else:
+            self._factor = lambda K: ldlt(K, self.pivot_floor)
+            self._solve_kernel = solve_ldlt
 
         o = build_symbols(names)
         self.symbols = o
@@ -304,15 +319,20 @@ class CompiledIPM:
             renv[vec] = val
         return renv
 
-    def _search_direction(self, L, D, renv):
+    def _search_direction(self, L, D, renv, K=None):
         """Solve the augmented system and back-substitute eliminated
-        variables via the symbolic delta definitions."""
+        variables via the symbolic delta definitions.  With ``K`` given
+        and ``refine > 0``, run iterative-refinement sweeps (residual
+        re-solve with the same factors)."""
         memo = {}
         parts = [cg.as_vector(cg.evaluate(r, renv, memo), sz)
                  for r, sz in zip(self.aug.rhs, self.aug_sizes)]
         b = (jnp.concatenate(parts) if parts
              else jnp.zeros(0, self.dtype))
-        sol = solve_ldlt(L, D, b)
+        sol = self._solve_kernel(L, D, b)
+        if self.refine and K is not None and b.shape[0]:
+            for _ in range(self.refine):
+                sol = sol + self._solve_kernel(L, D, b - K @ sol)
 
         deltas = [None] * len(self.full.variables)
         denv = dict(renv)
@@ -393,11 +413,11 @@ class CompiledIPM:
 
         # factor the augmented KKT once
         K = self._assemble_kkt(env)
-        L, D = ldlt(K, self.pivot_floor)
+        L, D = self._factor(K)
 
         # affine predictor (mu = 0)
         renv = self._residual_env(env, 0.0)
-        d_aff = self._search_direction(L, D, renv)
+        d_aff = self._search_direction(L, D, renv, K)
         alpha_aff = self._max_step(env, state.vars, d_aff)
 
         # trial step -> mu_aff -> sigma
@@ -413,7 +433,7 @@ class CompiledIPM:
         # corrector with recentred complementarity + affine correction
         cenv = self._residual_env(env, mu_new, data=data,
                                   var_vals=state.vars, affine_deltas=d_aff)
-        d_cc = self._search_direction(L, D, cenv)
+        d_cc = self._search_direction(L, D, cenv, K)
         alpha = self._max_step(env, state.vars, d_cc)
         step = self.fraction_to_boundary * alpha
         new_vars = tuple(v + step * d for v, d in zip(state.vars, d_cc))
