@@ -105,16 +105,7 @@ class CompiledIPM:
         #: float32 to recover near-f64 direction accuracy on TPU)
         self.refine = refine
 
-        # Factorisation kernels.  "auto": custom_vmap-wired — unbatched
-        # solves use the jnp LDL^T, while vmapped (batched) solves dispatch
-        # to the VMEM-resident Pallas kernels. "jnp": always the jnp path.
-        if kernel == "auto" and pivot_floor == 1e-8:
-            from ..ops.pallas_ldlt import ldlt_auto, solve_ldlt_auto
-            self._factor = ldlt_auto
-            self._solve_kernel = solve_ldlt_auto
-        else:
-            self._factor = lambda K: ldlt(K, self.pivot_floor)
-            self._solve_kernel = solve_ldlt
+        self._kernel_choice = kernel
 
         o = build_symbols(names)
         self.symbols = o
@@ -200,6 +191,34 @@ class CompiledIPM:
             E.product([E.number(0.5), E.transpose(o.x), o.Q, o.x]),
             E.product([E.transpose(o.c), o.x])])
 
+        # --- linear-solver mode -----------------------------------------
+        # "ldlt": dense LDL^T; unbatched calls use the jnp kernel and
+        #   vmapped (batched) calls dispatch to the VMEM-resident Pallas
+        #   kernels via custom_vmap.
+        # "block": MXU-native block elimination (Cholesky + dense Schur)
+        #   for 2x2 augmented structures — the fast path for large n.
+        # "auto": block when the augmented system is 2x2 and the leading
+        #   block is large enough for blocked Cholesky to win.
+        can_block = (len(self.aug.variables) == 2 and
+                     self.aug.variables[0] is o.x)
+        if kernel == "block":
+            if not can_block:
+                raise ValueError("kernel='block' needs a 2x2 augmented "
+                                 "system with x in the leading block")
+            self._mode = "block"
+        elif kernel == "auto" and can_block and n >= 384:
+            self._mode = "block"
+        else:
+            self._mode = "ldlt"
+        if self._mode == "ldlt" and kernel in ("auto", "ldlt") and \
+                pivot_floor == 1e-8:
+            from ..ops.pallas_ldlt import ldlt_auto, solve_ldlt_auto
+            self._factor = ldlt_auto
+            self._solve_kernel = solve_ldlt_auto
+        else:
+            self._factor = lambda K: ldlt(K, self.pivot_floor)
+            self._solve_kernel = solve_ldlt
+
         # jitted entry points
         self._solve_jit = jax.jit(self._solve_impl)
         self._step_jit = jax.jit(self._step_impl)
@@ -257,9 +276,10 @@ class CompiledIPM:
             gap = jnp.sum(jnp.abs(jnp.concatenate(comp))) / comp_size
         return residual, gap
 
-    def _assemble_kkt(self, env):
+    def _assemble_blocks(self, env):
+        """Evaluate each augmented-system cell as a dense block."""
         memo = {}
-        rows = []
+        blocks = []
         for i, vi in enumerate(self.aug.variables):
             si = self.aug_sizes[i]
             row_blocks = []
@@ -271,9 +291,51 @@ class CompiledIPM:
                 else:
                     row_blocks.append(
                         cg.as_block(cg.evaluate(cell, env, memo), si, sj))
-            rows.append(jnp.concatenate(row_blocks, axis=1)
-                        if len(row_blocks) > 1 else row_blocks[0])
+            blocks.append(row_blocks)
+        return blocks
+
+    def _assemble_kkt(self, env):
+        blocks = self._assemble_blocks(env)
+        rows = [jnp.concatenate(rb, axis=1) if len(rb) > 1 else rb[0]
+                for rb in blocks]
         return jnp.concatenate(rows, axis=0) if len(rows) > 1 else rows[0]
+
+    def _make_solve(self, env):
+        """Factor the augmented KKT once; return solve(b) -> sol with
+        optional iterative refinement baked in."""
+        if self._mode == "block":
+            from ..ops.block_solve import (block2_factor, block2_matvec,
+                                           block2_solve)
+            blocks = self._assemble_blocks(env)
+            H, BT = blocks[0][0], blocks[0][1]
+            B, negC = blocks[1][0], blocks[1][1]
+            C = -negC
+            factors = block2_factor(H, B, C)
+            n1 = self.aug_sizes[0]
+
+            def solve(b):
+                r1, r2 = b[:n1], b[n1:]
+                dx, dy = block2_solve(factors, r1, r2)
+                for _ in range(self.refine):
+                    e1, e2 = block2_matvec(H, B, C, dx, dy)
+                    cx, cy = block2_solve(factors, r1 - e1, r2 - e2)
+                    dx, dy = dx + cx, dy + cy
+                return jnp.concatenate([dx, dy])
+
+            return solve
+
+        K = self._assemble_kkt(env)
+        L, D = self._factor(K)
+
+        def solve(b):
+            if b.shape[0] == 0:
+                return b
+            sol = self._solve_kernel(L, D, b)
+            for _ in range(self.refine):
+                sol = sol + self._solve_kernel(L, D, b - K @ sol)
+            return sol
+
+        return solve
 
     def _residual_env(self, env, mu_val, data=None, var_vals=None,
                       affine_deltas=None):
@@ -319,20 +381,15 @@ class CompiledIPM:
             renv[vec] = val
         return renv
 
-    def _search_direction(self, L, D, renv, K=None):
+    def _search_direction(self, solve_fn, renv):
         """Solve the augmented system and back-substitute eliminated
-        variables via the symbolic delta definitions.  With ``K`` given
-        and ``refine > 0``, run iterative-refinement sweeps (residual
-        re-solve with the same factors)."""
+        variables via the symbolic delta definitions."""
         memo = {}
         parts = [cg.as_vector(cg.evaluate(r, renv, memo), sz)
                  for r, sz in zip(self.aug.rhs, self.aug_sizes)]
         b = (jnp.concatenate(parts) if parts
              else jnp.zeros(0, self.dtype))
-        sol = self._solve_kernel(L, D, b)
-        if self.refine and K is not None and b.shape[0]:
-            for _ in range(self.refine):
-                sol = sol + self._solve_kernel(L, D, b - K @ sol)
+        sol = solve_fn(b)
 
         deltas = [None] * len(self.full.variables)
         denv = dict(renv)
@@ -412,12 +469,11 @@ class CompiledIPM:
         gap = state.gap
 
         # factor the augmented KKT once
-        K = self._assemble_kkt(env)
-        L, D = self._factor(K)
+        solve_fn = self._make_solve(env)
 
         # affine predictor (mu = 0)
         renv = self._residual_env(env, 0.0)
-        d_aff = self._search_direction(L, D, renv, K)
+        d_aff = self._search_direction(solve_fn, renv)
         alpha_aff = self._max_step(env, state.vars, d_aff)
 
         # trial step -> mu_aff -> sigma
@@ -433,7 +489,7 @@ class CompiledIPM:
         # corrector with recentred complementarity + affine correction
         cenv = self._residual_env(env, mu_new, data=data,
                                   var_vals=state.vars, affine_deltas=d_aff)
-        d_cc = self._search_direction(L, D, cenv, K)
+        d_cc = self._search_direction(solve_fn, cenv)
         alpha = self._max_step(env, state.vars, d_cc)
         step = self.fraction_to_boundary * alpha
         new_vars = tuple(v + step * d for v, d in zip(state.vars, d_cc))

@@ -1,0 +1,97 @@
+"""Block-elimination (Cholesky + Schur) kernel and solver mode."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ipmzoo_tpu.formulations import Settings
+from ipmzoo_tpu.models import CompiledIPM, QPData
+from ipmzoo_tpu.ops.block_solve import block2_factor, block2_matvec, \
+    block2_solve
+
+
+def make_blocks(n, m, seed):
+    rng = np.random.default_rng(seed)
+    M = rng.normal(size=(n, n))
+    H = jnp.asarray(M @ M.T / n + np.eye(n))
+    B = jnp.asarray(rng.normal(size=(m, n)))
+    N = rng.normal(size=(m, m))
+    C = jnp.asarray(N @ N.T / m + np.eye(m))
+    return H, B, C
+
+
+@pytest.mark.parametrize("n,m", [(8, 3), (40, 17), (100, 30)])
+def test_block2_solves_kkt(n, m):
+    H, B, C = make_blocks(n, m, seed=n)
+    K = jnp.block([[H, B.T], [B, -C]])
+    rng = np.random.default_rng(1)
+    b = jnp.asarray(rng.normal(size=n + m))
+    f = block2_factor(H, B, C)
+    dx, dy = block2_solve(f, b[:n], b[n:])
+    sol = jnp.concatenate([dx, dy])
+    np.testing.assert_allclose(np.asarray(K @ sol), np.asarray(b),
+                               rtol=1e-8, atol=1e-8)
+
+
+def test_block2_matvec():
+    H, B, C = make_blocks(6, 2, seed=0)
+    K = jnp.block([[H, B.T], [B, -C]])
+    x = jnp.asarray(np.random.default_rng(2).normal(size=8))
+    y1, y2 = block2_matvec(H, B, C, x[:6], x[6:])
+    np.testing.assert_allclose(np.asarray(jnp.concatenate([y1, y2])),
+                               np.asarray(K @ x), rtol=1e-12)
+
+
+def test_block2_no_constraints():
+    H, _, _ = make_blocks(5, 1, seed=3)
+    B = jnp.zeros((0, 5))
+    C = jnp.zeros((0, 0))
+    f = block2_factor(H, B, C)
+    b = jnp.asarray(np.random.default_rng(0).normal(size=5))
+    dx, dy = block2_solve(f, b, jnp.zeros(0))
+    np.testing.assert_allclose(np.asarray(H @ dx), np.asarray(b), atol=1e-9)
+
+
+class TestSolverBlockMode:
+    def test_matches_ldlt_mode(self):
+        rng = np.random.default_rng(0)
+        n, m = 16, 6
+        M = rng.normal(size=(n, n))
+        data = QPData.make(
+            Q=M @ M.T / n + np.eye(n), c=rng.normal(size=n),
+            A_ineq=rng.normal(size=(m, n)),
+            l_A_ineq=-np.abs(rng.normal(size=m)) - 1,
+            u_A_ineq=np.abs(rng.normal(size=m)) + 1,
+            l_x=-5 * np.ones(n), u_x=5 * np.ones(n), dtype=jnp.float64)
+        s_ldlt = CompiledIPM(Settings(), n=n, m_ineq=m, kernel="ldlt")
+        s_block = CompiledIPM(Settings(), n=n, m_ineq=m, kernel="block")
+        r1, r2 = s_ldlt.solve(data), s_block.solve(data)
+        assert bool(r1.converged) and bool(r2.converged)
+        assert int(r1.iterations) == int(r2.iterations)
+        np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r2.x),
+                                   atol=1e-12)
+
+    def test_block_mode_rejects_non_2x2(self):
+        from ipmzoo_tpu.formulations import InequalityHandling
+        with pytest.raises(ValueError):
+            # Slacks handling yields a 3-block augmented system? For the
+            # demo formulation it reduces to 2x2 with x leading; use a
+            # bounds-free equality-free formulation (1x1) instead.
+            from ipmzoo_tpu.formulations import Bounds
+            CompiledIPM(Settings(inequalities=Bounds.NONE,
+                                 variable_bounds=Bounds.NONE),
+                        n=4, kernel="block")
+
+    def test_refinement_in_block_mode(self):
+        rng = np.random.default_rng(5)
+        n, m = 12, 4
+        M = rng.normal(size=(n, n))
+        data = QPData.make(
+            Q=M @ M.T / n + np.eye(n), c=rng.normal(size=n),
+            A_ineq=rng.normal(size=(m, n)),
+            l_A_ineq=-np.abs(rng.normal(size=m)) - 1,
+            u_A_ineq=np.abs(rng.normal(size=m)) + 1,
+            l_x=-5 * np.ones(n), u_x=5 * np.ones(n), dtype=jnp.float64)
+        s = CompiledIPM(Settings(), n=n, m_ineq=m, kernel="block", refine=1)
+        res = s.solve(data)
+        assert bool(res.converged)
