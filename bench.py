@@ -47,40 +47,82 @@ def make_batch(batch, n, m, dtype):
         u_x=jnp.full((batch, n), 5.0, dtype))
 
 
-def main():
+def bench_fused(data, backend):
+    """Full solves inside the fused whole-solve Pallas kernel."""
+    import jax
+    import jax.numpy as jnp
+    from ipmzoo_tpu.formulations import Settings
+    from ipmzoo_tpu.models.fused import FusedBatchedIPM
+
+    fused = FusedBatchedIPM(Settings(), n=N, m_ineq=M_INEQ,
+                            dtype=jnp.float32, tol=1e-5, max_iter=30)
+    solve = jax.jit(fused.solve_fused)
+    out = solve(data)
+    jax.block_until_ready(out["x"])
+    conv = float(jnp.mean(out["converged"].astype(jnp.float32)))
+    if conv < 0.99:
+        raise RuntimeError(f"fused solver convergence too low: {conv}")
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = solve(data)
+    jax.block_until_ready(out["x"])
+    t1 = time.perf_counter()
+    iters = float(jnp.mean(out["iterations"]))
+    its_per_sec = BATCH * iters * reps / (t1 - t0)
+    label = (f"IPM iterations/s, {BATCH} batched QPs fully solved in one "
+             f"fused Pallas kernel (n={N}, m={M_INEQ}, {backend}, "
+             f"{conv * 100:.2f}% converged)")
+    return label, its_per_sec
+
+
+def bench_steps(data, backend):
+    """Vmapped-step path (XLA), fallback when Pallas is unavailable."""
     import jax
     import jax.numpy as jnp
     from ipmzoo_tpu.formulations import Settings
     from ipmzoo_tpu.models import CompiledIPM
 
-    dtype = jnp.float32
-    backend = jax.default_backend()
-    solver = CompiledIPM(Settings(), n=N, m_ineq=M_INEQ, dtype=dtype,
+    solver = CompiledIPM(Settings(), n=N, m_ineq=M_INEQ, dtype=jnp.float32,
                          tol=1e-6)
-    data = make_batch(BATCH, N, M_INEQ, dtype)
     init = jax.jit(jax.vmap(solver.init_state))
     step = jax.jit(jax.vmap(solver._step_impl))
-
     state = init(data)
-    jax.block_until_ready(state.vars)
-
-    # compile + warmup
     state = step(state, data)
     jax.block_until_ready(state.vars)
-
     t0 = time.perf_counter()
     for _ in range(STEPS):
         state = step(state, data)
     jax.block_until_ready(state.vars)
     t1 = time.perf_counter()
+    label = (f"IPM iterations/s, {BATCH} batched QPs, vmapped step "
+             f"(n={N}, m={M_INEQ}, {backend})")
+    return label, BATCH * STEPS / (t1 - t0)
 
-    iters_per_sec = BATCH * STEPS / (t1 - t0)
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    backend = jax.default_backend()
+    data = make_batch(BATCH, N, M_INEQ, jnp.float32)
+    # The vmapped-step XLA path is the fastest engine for this workload
+    # (the fused whole-solve Pallas kernel is HBM-optimal but
+    # instruction-issue-bound at these instance sizes; see
+    # models/fused.py). BENCH_MODE=fused measures the fused kernel.
+    mode = os.environ.get("BENCH_MODE", "steps")
+    try:
+        if mode != "fused" or backend != "tpu":
+            raise RuntimeError("using step path")
+        label, its_per_sec = bench_fused(data, backend)
+    except Exception:
+        label, its_per_sec = bench_steps(data, backend)
+
     print(json.dumps({
-        "metric": f"IPM iterations/s, {BATCH} batched QPs "
-                  f"(n={N}, m={M_INEQ}, {backend})",
-        "value": round(iters_per_sec, 1),
+        "metric": label,
+        "value": round(its_per_sec, 1),
         "unit": "iterations/s",
-        "vs_baseline": round(iters_per_sec / REFERENCE_ITERS_PER_SEC, 2),
+        "vs_baseline": round(its_per_sec / REFERENCE_ITERS_PER_SEC, 2),
     }))
 
 

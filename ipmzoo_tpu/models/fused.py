@@ -1,0 +1,516 @@
+"""Fused whole-solve Pallas kernel: the entire Mehrotra IPM in VMEM.
+
+``FusedBatchedIPM`` takes the batched-QP workload to its HBM-traffic
+floor: a tile of instances is DMA'd to VMEM once, and ALL solver
+iterations — KKT assembly, LDL^T factorisation, predictor, line search,
+centering, corrector, update, convergence test — run on-chip; only the
+final iterates leave the core.  The vmapped XLA solver re-streams state
+and factors through HBM every iteration; this kernel reads the problem
+data exactly once.
+
+The kernel body is *generated from the same symbolic derivation* as the
+XLA solver: residuals, KKT cells, corrector remainders and
+back-substitution formulas are staged through
+:mod:`.codegen_soa` (structure-of-arrays evaluation, batch on the lane
+axis), so the two paths are numerically in lockstep and every
+formulation the augmented reduction supports is fused automatically.
+
+Per-instance convergence is handled with a done-mask: finished instances
+freeze while the tile runs until all instances converge (or max_iter).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..formulations import Settings, VariableNames, delta_variable
+from ..symbolic import expr as E
+from . import codegen_soa as soa
+from .data import QPData
+from .ipm import CompiledIPM
+
+LANE = 128
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+# ---------------------------------------------------------------------------
+# SoA dense LDL^T (functional, in-kernel)
+# ---------------------------------------------------------------------------
+
+def _ldlt_into_refs(K: jnp.ndarray, n: int, pivot_floor: float,
+                    k_ref, l_ref, d_ref):
+    """Factor K (N, N, BT) into scratch refs l_ref/d_ref.
+
+    Mosaic cannot lower dynamic_slice on *values*, so the sequential
+    column loop indexes VMEM scratch refs (which support dynamic
+    indexing) instead of carried arrays."""
+    N, _, BT = K.shape
+    dt = K.dtype
+    row_ids = lax.broadcasted_iota(jnp.int32, (N, 1), 0)
+    k_ref[...] = K
+    l_ref[...] = jnp.zeros((N, N, BT), dt)
+    d_ref[...] = jnp.ones((N, BT), dt)
+
+    def body(j, _):
+        mask_k = (row_ids < j).astype(dt)                   # (N, 1)
+        lj = l_ref[j, :, :] * mask_k                        # (N, BT)
+        w = lj * d_ref[...]
+        s = jnp.sum(l_ref[...] * w[None, :, :], axis=1)     # (N, BT)
+        Kj = k_ref[:, j, :]                                 # (N, BT)
+        d = k_ref[j, j, :] - jnp.sum(lj * w, axis=0)        # (BT,)
+        d = jnp.where(d == 0, jnp.asarray(pivot_floor, dt), d)
+        col = (Kj - s) / d[None, :]
+        col = jnp.where(row_ids > j, col, 0.0)
+        col = col + (row_ids == j).astype(dt)               # unit diagonal
+        l_ref[:, j, :] = col
+        d_ref[j, :] = d
+        return _
+
+    lax.fori_loop(0, n, body, 0)
+
+
+def _solve_from_refs(l_ref, d_ref, x_ref, b: jnp.ndarray, n: int):
+    """Solve L D L^T x = b using factored scratch refs; returns x."""
+    N, _, BT = l_ref.shape
+    dt = b.dtype
+    row_ids = lax.broadcasted_iota(jnp.int32, (N, 1), 0)
+    x_ref[...] = b
+
+    def fwd(i, _):
+        mask = (row_ids < i).astype(dt)
+        li = l_ref[i, :, :]                                 # (N, BT)
+        s = jnp.sum(li * x_ref[...] * mask, axis=0)         # (BT,)
+        x_ref[i, :] = x_ref[i, :] - s
+        return _
+
+    lax.fori_loop(0, n, fwd, 0)
+    x_ref[...] = x_ref[...] / d_ref[...]
+
+    def bwd(t, _):
+        i = n - 1 - t
+        mask = (row_ids > i).astype(dt)
+        col = l_ref[:, i, :]                                # (N, BT)
+        s = jnp.sum(col * x_ref[...] * mask, axis=0)
+        x_ref[i, :] = x_ref[i, :] - s
+        return _
+
+    lax.fori_loop(0, n, bwd, 0)
+    return x_ref[...]
+
+
+# ---------------------------------------------------------------------------
+# Fused solver
+# ---------------------------------------------------------------------------
+
+class FusedBatchedIPM(CompiledIPM):
+    """Whole-solve-in-VMEM variant of :class:`CompiledIPM` for batched
+    small QPs.  API: ``solve_fused(batched QPData) -> SolveResult``-like
+    dict of arrays.
+
+    Status / measured trade-off (v5e, n=16, m=8, 10240 QPs): the fused
+    kernel solves the full batch in ~12 ms. It is HBM-optimal (data read
+    once) but instruction-issue-bound: every op inside the kernel is only
+    (k, bt)-shaped, while the vmapped-step XLA path works on
+    (batch, k)-shaped operands ~20x wider and finishes the same solves in
+    ~1 ms.  Prefer ``CompiledIPM.solve_batch`` for throughput today; this
+    engine is the scaffold for wider-tile / multi-instance-per-lane
+    optimisation (bt=1024 currently overflows VMEM at these sizes)."""
+
+    def __init__(self, settings: Settings, n: int, m_ineq: int = 0,
+                 m_eq: int = 0, *, bt: int = 512, interpret=None, **kw):
+        kw.setdefault("dtype", jnp.float32)
+        kw.setdefault("kernel", "jnp")
+        super().__init__(settings, n, m_ineq, m_eq, **kw)
+        self.bt = bt
+        self.interpret = (jax.default_backend() != "tpu"
+                          if interpret is None else interpret)
+        # data symbols in fixed order for the kernel signature; arrays with
+        # a zero dimension cannot be kernel operands (zero-sized blocks)
+        # and are bound as empty values inside the kernel instead.
+        o = self.symbols
+        def shape_of(dims):
+            lut = {"n": n, "m": m_ineq, "e": m_eq}
+            return tuple(lut[d] for d in dims)
+        all_syms = [
+            (o.Q, ("n", "n")), (o.c, ("n",)), (o.A_ineq, ("m", "n")),
+            (o.l_A_ineq, ("m",)), (o.u_A_ineq, ("m",)), (o.A_eq, ("e", "n")),
+            (o.b_eq, ("e",)), (o.l_x, ("n",)), (o.u_x, ("n",)),
+        ]
+        self._data_syms = [(s, d) for s, d in all_syms
+                           if 0 not in shape_of(d)]
+        self._empty_syms = [(s, shape_of(d)) for s, d in all_syms
+                            if 0 in shape_of(d)]
+
+    # -- env/eval plumbing (SoA) ---------------------------------------
+
+    def _env_soa(self, data_tvs: Dict, var_vals, mu_val) -> soa.Env:
+        o = self.symbols
+        dt = self.dtype
+        env = dict(data_tvs)
+        bt = mu_val.shape[-1]
+        env[o.delta_eq] = soa.scalar(jnp.full((1, 1), self.delta0, dt))
+        env[o.mu] = soa.scalar(mu_val)
+        env[o.e_var] = soa.vector(jnp.ones((self.n, 1), dt))
+        env[o.e_ineq] = soa.vector(jnp.ones((self.m_ineq, 1), dt))
+        env[o.e_eq] = soa.vector(jnp.ones((self.m_eq, 1), dt))
+        for var, val in zip(self.full.variables, var_vals):
+            env[var] = soa.vector(val)
+        return env
+
+    def _metrics_soa(self, env0, bt):
+        memo = {}
+        dt = self.dtype
+        vals = [soa.as_vector(soa.evaluate(r, env0, memo), sz, bt, dt)
+                for r, sz in zip(self.full.rhs, self.var_sizes)]
+        sq = jnp.zeros((1, bt), dt)
+        for v in vals:
+            if v.shape[0]:
+                sq = sq + jnp.sum(v * v, axis=0, keepdims=True)
+        residual = jnp.sqrt(sq)
+        comp_size = sum(self.var_sizes[i] for i in self.comp_rows)
+        if comp_size == 0:
+            gap = jnp.zeros((1, bt), dt)
+        else:
+            acc = jnp.zeros((1, bt), dt)
+            for i in self.comp_rows:
+                if vals[i].shape[0]:
+                    acc = acc + jnp.sum(jnp.abs(vals[i]), axis=0,
+                                        keepdims=True)
+            gap = acc / comp_size
+        return residual, gap
+
+    def _assemble_soa(self, env, bt):
+        dt = self.dtype
+        memo = {}
+        rows = []
+        for i, vi in enumerate(self.aug.variables):
+            si = self.aug_sizes[i]
+            row = []
+            for j, vj in enumerate(self.aug.variables):
+                sj = self.aug_sizes[j]
+                cell = self.aug.lhs[i][j]
+                if cell is E.ZERO:
+                    row.append(jnp.zeros((si, sj, bt), dt))
+                    continue
+                v = soa.evaluate(cell, env, memo)
+                if v.tag == "matrix":
+                    blk = jnp.broadcast_to(v.val, (si, sj, bt))
+                elif v.tag == "diag":
+                    eye = jnp.eye(si, dtype=dt)[:, :, None]
+                    blk = eye * jnp.broadcast_to(v.val[:, None, :],
+                                                 (si, 1, bt))
+                elif v.tag == "scalar":
+                    eye = jnp.eye(si, dtype=dt)[:, :, None]
+                    blk = eye * jnp.broadcast_to(v.val[:, None, :],
+                                                 (1, 1, bt))
+                else:
+                    raise TypeError(f"cell {cell!r} -> {v.tag}")
+                row.append(blk)
+            rows.append(jnp.concatenate(row, axis=1) if len(row) > 1
+                        else row[0])
+        return jnp.concatenate(rows, axis=0) if len(rows) > 1 else rows[0]
+
+    def _residual_env_soa(self, env, mu_val, data_tvs=None, var_vals=None,
+                          affine_deltas=None, bt=None):
+        renv = dict(env)
+        renv[self.symbols.mu] = soa.scalar(mu_val)
+        memo = {}
+        corr_vals = None
+        if affine_deltas is not None:
+            corr_vals = {}
+            zero_mu = jnp.zeros_like(mu_val)
+            aff_point = tuple(v + d for v, d in zip(var_vals,
+                                                    affine_deltas))
+            aenv = self._env_soa(data_tvs, aff_point, zero_mu)
+            benv = self._env_soa(data_tvs, var_vals, zero_mu)
+            amemo, bmemo, jmemo = {}, {}, {}
+            for i, (vec, definition, comp) in enumerate(self.corrector):
+                if not comp:
+                    continue
+                c_shift = soa.evaluate(definition, aenv, amemo)
+                c_base = soa.evaluate(definition, benv, bmemo)
+                lin = None
+                for j, dj in enumerate(affine_deltas):
+                    cell = self.full.lhs[i][j]
+                    if cell is E.ZERO or dj.shape[0] == 0:
+                        continue
+                    term = soa.multiply_tv(soa.evaluate(cell, env, jmemo),
+                                           soa.vector(dj))
+                    lin = term if lin is None else soa.add_tv(lin, term)
+                corr = soa.add_tv(c_shift, soa.negate_tv(c_base))
+                if lin is not None:
+                    corr = soa.add_tv(corr, soa.negate_tv(lin))
+                corr_vals[vec] = corr
+        for (vec, definition, comp) in self.corrector:
+            val = soa.evaluate(definition, renv, memo)
+            if corr_vals is not None and vec in corr_vals:
+                val = soa.add_tv(val, corr_vals[vec])
+            renv[vec] = val
+        return renv
+
+    def _search_direction_soa(self, scratch, renv, bt):
+        dt = self.dtype
+        _, l_ref, d_ref, x_ref = scratch
+        memo = {}
+        parts = [soa.as_vector(soa.evaluate(r, renv, memo), sz, bt, dt)
+                 for r, sz in zip(self.aug.rhs, self.aug_sizes)]
+        b = jnp.concatenate(parts, axis=0)
+        sol = _solve_from_refs(l_ref, d_ref, x_ref, b, self.aug_dim)
+        deltas = [None] * len(self.full.variables)
+        denv = dict(renv)
+        offset = 0
+        for var, sz in zip(self.aug.variables, self.aug_sizes):
+            val = sol[offset:offset + sz]
+            offset += sz
+            deltas[self.var_index[var]] = val
+            denv[delta_variable(var)] = soa.vector(val)
+        memo2 = {}
+        for dvar, ddef in reversed(self.aug.delta_definitions):
+            var = self.delta_to_var[dvar]
+            val = soa.as_vector(soa.evaluate(ddef, denv, memo2),
+                                self.size_of[var], bt, dt)
+            denv[dvar] = soa.vector(val)
+            deltas[self.var_index[var]] = val
+        return deltas
+
+    def _max_step_soa(self, env, var_vals, deltas, bt):
+        dt = self.dtype
+        alpha = jnp.ones((1, bt), dt)
+        inf = jnp.asarray(jnp.inf, dt)
+        for i in self.nonneg_idx:
+            v, d = var_vals[i], deltas[i]
+            if v.shape[0] == 0:
+                continue
+            ratio = jnp.where(d < 0, -v / jnp.where(d < 0, d, -1.0), inf)
+            alpha = jnp.minimum(alpha, jnp.min(ratio, axis=0, keepdims=True))
+        if self.box_test:
+            o = self.symbols
+            checks = []
+            if o.x in self.var_index:
+                checks.append((o.x, o.l_x if self.x_has_lb else None,
+                               o.u_x if self.x_has_ub else None))
+            if o.s_A_ineq in self.var_index:
+                checks.append((o.s_A_ineq,
+                               o.l_A_ineq if self.s_has_lb else None,
+                               o.u_A_ineq if self.s_has_ub else None))
+            for var, lb_sym, ub_sym in checks:
+                i = self.var_index[var]
+                v, d = var_vals[i], deltas[i]
+                if v.shape[0] == 0:
+                    continue
+                if lb_sym is not None:
+                    lb = env[lb_sym].val
+                    ratio = jnp.where(d < 0, (lb - v) /
+                                      jnp.where(d < 0, d, -1.0), inf)
+                    alpha = jnp.minimum(alpha,
+                                        jnp.min(ratio, axis=0, keepdims=True))
+                if ub_sym is not None:
+                    ub = env[ub_sym].val
+                    ratio = jnp.where(d > 0, (ub - v) /
+                                      jnp.where(d > 0, d, 1.0), inf)
+                    alpha = jnp.minimum(alpha,
+                                        jnp.min(ratio, axis=0, keepdims=True))
+        return alpha
+
+    # -- the fused step + loop -----------------------------------------
+
+    def _fused_step(self, data_tvs, var_vals, mu, bt, scratch):
+        dt = self.dtype
+        env = self._env_soa(data_tvs, var_vals, mu)
+        env0 = dict(env)
+        env0[self.symbols.mu] = soa.scalar(jnp.zeros((1, bt), dt))
+        _, gap = self._metrics_soa(env0, bt)
+
+        K = self._assemble_soa(env, bt)
+        k_ref, l_ref, d_ref, x_ref = scratch
+        _ldlt_into_refs(K, self.aug_dim, self.pivot_floor, k_ref, l_ref,
+                        d_ref)
+
+        zero_mu = jnp.zeros((1, bt), dt)
+        renv = self._residual_env_soa(env, zero_mu)
+        d_aff = self._search_direction_soa(scratch, renv, bt)
+        alpha_aff = self._max_step_soa(env, var_vals, d_aff, bt)
+
+        trial = tuple(v + alpha_aff * d for v, d in zip(var_vals, d_aff))
+        tenv = self._env_soa(data_tvs, trial, zero_mu)
+        _, gap_aff = self._metrics_soa(tenv, bt)
+        safe_gap = jnp.where(gap > 0, gap, 1.0)
+        sigma = jnp.where(gap > 0, (gap_aff / safe_gap) ** 3, 0.0)
+        mu_new = (gap * sigma).astype(dt)
+
+        cenv = self._residual_env_soa(env, mu_new, data_tvs=data_tvs,
+                                      var_vals=var_vals,
+                                      affine_deltas=d_aff, bt=bt)
+        d_cc = self._search_direction_soa(scratch, cenv, bt)
+        alpha = self._max_step_soa(env, var_vals, d_cc, bt)
+        step = self.fraction_to_boundary * alpha
+        new_vars = tuple(v + step * d for v, d in zip(var_vals, d_cc))
+        return new_vars, mu_new
+
+    def _fused_kernel(self, *refs):
+        n_data = len(self._data_syms)
+        in_refs = refs[:n_data]
+        (x_ref, vars_ref, it_ref, res_ref, gap_ref,
+         k_ref, l_ref, d_ref, xw_ref) = refs[n_data:]
+        scratch = (k_ref, l_ref, d_ref, xw_ref)
+        bt = self.bt
+        dt = self.dtype
+
+        data_tvs = {}
+        for (sym, dims), ref in zip(self._data_syms, in_refs):
+            val = ref[...]
+            tag = "matrix" if len(dims) == 2 else "vector"
+            data_tvs[sym] = soa.TV(tag, val)
+        for sym, shape in self._empty_syms:
+            tag = "matrix" if len(shape) == 2 else "vector"
+            data_tvs[sym] = soa.TV(tag, jnp.zeros(shape + (bt,), dt))
+
+        # initial iterate (midpoints / ones), matching init_state
+        o = self.symbols
+        init = {
+            o.x: 0.5 * (data_tvs[o.l_x].val + data_tvs[o.u_x].val),
+            o.s_A_ineq: 0.5 * (data_tvs[o.l_A_ineq].val +
+                               data_tvs[o.u_A_ineq].val),
+        }
+        var_vals = tuple(
+            init.get(v, jnp.ones((sz, bt), dt))
+            for v, sz in zip(self.full.variables, self.var_sizes))
+        mu = jnp.full((1, bt), self.mu0, dt)
+
+        zero_mu = jnp.zeros((1, bt), dt)
+        env0 = self._env_soa(data_tvs, var_vals, zero_mu)
+        residual, gap = self._metrics_soa(env0, bt)
+        # done mask carried as f32 0/1 — Mosaic cannot yield i1 vectors
+        # through a while-loop carry
+        done_f = jnp.where((residual < self.tol) & (gap < self.tol),
+                           jnp.ones((1, bt), dt), jnp.zeros((1, bt), dt))
+        iters = jnp.zeros((1, bt), dt)
+
+        def cond(carry):
+            var_vals, mu, residual, gap, done_f, iters, it = carry
+            return jnp.logical_and(it < self.max_iter,
+                                   jnp.min(done_f) < 0.5)
+
+        def body(carry):
+            var_vals, mu, residual, gap, done_f, iters, it = carry
+            done = done_f > 0.5
+            new_vars, mu_new = self._fused_step(data_tvs, var_vals, mu, bt,
+                                                scratch)
+            # freeze converged instances
+            new_vars = tuple(jnp.where(done, v, nv)
+                             for v, nv in zip(var_vals, new_vars))
+            mu = jnp.where(done, mu, mu_new)
+            nenv = self._env_soa(data_tvs, new_vars, zero_mu)
+            n_res, n_gap = self._metrics_soa(nenv, bt)
+            residual = jnp.where(done, residual, n_res)
+            gap = jnp.where(done, gap, n_gap)
+            iters = jnp.where(done, iters, iters + 1.0)
+            done_f = jnp.maximum(
+                done_f, jnp.where((residual < self.tol) & (gap < self.tol),
+                                  1.0, 0.0).astype(dt))
+            return new_vars, mu, residual, gap, done_f, iters, it + 1
+
+        carry = (var_vals, mu, residual, gap, done_f, iters,
+                 jnp.asarray(0, jnp.int32))
+        var_vals, mu, residual, gap, done_f, iters, _ = lax.while_loop(
+            cond, body, carry)
+
+        x_ref[...] = var_vals[self.var_index[self.symbols.x]]
+        vars_ref[...] = jnp.concatenate(var_vals, axis=0)
+        it_ref[...] = iters
+        res_ref[...] = residual
+        gap_ref[...] = gap
+
+    # -- public wrapper -------------------------------------------------
+
+    def solve_fused(self, data: QPData):
+        """Solve a batch of QPs entirely inside one Pallas kernel."""
+        dt = self.dtype
+        B = data.Q.shape[0]
+        bt = self.bt
+        Bpad = _round_up(B, bt)
+
+        def to_soa(arr, dims):
+            a = jnp.moveaxis(jnp.asarray(arr, dt), 0, -1)  # (..., B)
+            pad = [(0, 0)] * (a.ndim - 1) + [(0, Bpad - B)]
+            a = jnp.pad(a, pad)
+            if a.shape[-1] != Bpad:
+                raise AssertionError
+            return a
+
+        arrays = []
+        field_of = {
+            self.symbols.Q: data.Q, self.symbols.c: data.c,
+            self.symbols.A_ineq: data.A_ineq,
+            self.symbols.l_A_ineq: data.l_A_ineq,
+            self.symbols.u_A_ineq: data.u_A_ineq,
+            self.symbols.A_eq: data.A_eq, self.symbols.b_eq: data.b_eq,
+            self.symbols.l_x: data.l_x, self.symbols.u_x: data.u_x,
+        }
+        for sym, dims in self._data_syms:
+            arrays.append(to_soa(field_of[sym], dims))
+
+        grid = (Bpad // bt,)
+        total = sum(self.var_sizes)
+
+        def spec(a):
+            blk = a.shape[:-1] + (bt,)
+            nd = a.ndim
+            def index_map(i, _nd=nd):
+                return (0,) * (_nd - 1) + (i,)
+            return pl.BlockSpec(blk, index_map, memory_space=pltpu.VMEM)
+
+        in_specs = [spec(a) for a in arrays]
+        out_shapes = (
+            jax.ShapeDtypeStruct((self.n, Bpad), dt),
+            jax.ShapeDtypeStruct((max(total, 1), Bpad), dt),
+            jax.ShapeDtypeStruct((1, Bpad), dt),
+            jax.ShapeDtypeStruct((1, Bpad), dt),
+            jax.ShapeDtypeStruct((1, Bpad), dt),
+        )
+        out_specs = tuple(
+            pl.BlockSpec(s.shape[:-1] + (bt,),
+                         (lambda i, _nd=len(s.shape): (0,) * (_nd - 1) + (i,)),
+                         memory_space=pltpu.VMEM)
+            for s in out_shapes)
+
+        x, allvars, iters, residual, gap = pl.pallas_call(
+            self._fused_kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shapes,
+            scratch_shapes=[
+                pltpu.VMEM((self.aug_dim, self.aug_dim, bt), dt),
+                pltpu.VMEM((self.aug_dim, self.aug_dim, bt), dt),
+                pltpu.VMEM((self.aug_dim, bt), dt),
+                pltpu.VMEM((self.aug_dim, bt), dt),
+            ],
+            interpret=self.interpret,
+        )(*arrays)
+
+        def from_soa(a):
+            return jnp.moveaxis(a, -1, 0)[:B]
+
+        tol = self.tol
+        res_b = from_soa(residual)[:, 0]
+        gap_b = from_soa(gap)[:, 0]
+        return {
+            "x": from_soa(x),
+            "variables": from_soa(allvars),
+            "iterations": from_soa(iters)[:, 0],
+            "residual": res_b,
+            "gap": gap_b,
+            "converged": (res_b < tol) & (gap_b < tol),
+        }

@@ -91,7 +91,8 @@ class CompiledIPM:
                  dtype=jnp.float64, tol: float = 1e-8, max_iter: int = 100,
                  fraction_to_boundary: float = 0.995, mu0: float = 1.0,
                  delta0: float = 1e-4, pivot_floor: float = 1e-8,
-                 refine: int = 0, kernel: str = "auto"):
+                 refine: int = 0, kernel: str = "auto",
+                 scale_tol: bool = False):
         self.settings = settings
         self.n, self.m_ineq, self.m_eq = n, m_ineq, m_eq
         self.dtype = dtype
@@ -106,6 +107,12 @@ class CompiledIPM:
         self.refine = refine
 
         self._kernel_choice = kernel
+        #: scale the residual test by (1 + initial residual norm) — the
+        #: standard relative criterion for large problems, where an
+        #: absolute norm test is dominated by dtype precision floors.
+        #: (The reference uses absolute tolerances, suited to its tiny
+        #: demo; gap stays absolute either way.)
+        self.scale_tol = scale_tol
 
         o = build_symbols(names)
         self.symbols = o
@@ -502,10 +509,14 @@ class CompiledIPM:
 
     def _solve_impl(self, data: QPData) -> SolveResult:
         state0 = self.init_state(data)
+        if self.scale_tol:
+            res_tol = self.tol * (1.0 + state0.residual)
+        else:
+            res_tol = jnp.asarray(self.tol, self.dtype)
         tol = self.tol
 
         def cond(state):
-            done = (state.residual < tol) & (state.gap < tol)
+            done = (state.residual < res_tol) & (state.gap < tol)
             return (~done) & (state.iteration < self.max_iter)
 
         state = jax.lax.while_loop(cond, lambda s: self._step_impl(s, data),
@@ -521,7 +532,7 @@ class CompiledIPM:
             iterations=state.iteration,
             residual=state.residual,
             gap=state.gap,
-            converged=(state.residual < tol) & (state.gap < tol),
+            converged=(state.residual < res_tol) & (state.gap < tol),
         )
 
     # ------------------------------------------------------------------

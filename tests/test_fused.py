@@ -1,0 +1,70 @@
+"""Fused whole-solve kernel (interpret mode): lockstep with the XLA path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ipmzoo_tpu.formulations import Bounds, Settings
+from ipmzoo_tpu.models import CompiledIPM, QPData
+from ipmzoo_tpu.models.fused import FusedBatchedIPM
+
+
+def make_batch(B, n, m, seed=0):
+    rng = np.random.default_rng(seed)
+    M = rng.normal(size=(B, n, n))
+    Q = np.einsum("bij,bkj->bik", M, M) / n + np.eye(n)
+    return QPData(
+        Q=jnp.asarray(Q, jnp.float64),
+        c=jnp.asarray(rng.normal(size=(B, n)), jnp.float64),
+        A_ineq=jnp.asarray(rng.normal(size=(B, m, n)), jnp.float64),
+        l_A_ineq=jnp.asarray(-np.abs(rng.normal(size=(B, m))) - 1,
+                             jnp.float64),
+        u_A_ineq=jnp.asarray(np.abs(rng.normal(size=(B, m))) + 1,
+                             jnp.float64),
+        A_eq=jnp.zeros((B, 0, n), jnp.float64),
+        b_eq=jnp.zeros((B, 0), jnp.float64),
+        l_x=jnp.full((B, n), -5.0, jnp.float64),
+        u_x=jnp.full((B, n), 5.0, jnp.float64))
+
+
+def test_fused_matches_xla_solver():
+    B, n, m = 8, 6, 3
+    data = make_batch(B, n, m)
+    ref = CompiledIPM(Settings(), n=n, m_ineq=m, dtype=jnp.float64,
+                      kernel="jnp")
+    fused = FusedBatchedIPM(Settings(), n=n, m_ineq=m, bt=8,
+                            dtype=jnp.float64)
+    r = ref.solve_batch(data)
+    f = fused.solve_fused(data)
+    assert bool(jnp.all(r.converged)) and bool(jnp.all(f["converged"]))
+    np.testing.assert_array_equal(np.asarray(r.iterations),
+                                  np.asarray(f["iterations"]).astype(int))
+    np.testing.assert_allclose(np.asarray(f["x"]), np.asarray(r.x),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(f["gap"]), np.asarray(r.gap),
+                               rtol=1e-6, atol=1e-14)
+
+
+def test_fused_batch_padding():
+    # batch not a multiple of the tile: padding instances must not leak
+    B, n, m = 5, 4, 2
+    data = make_batch(B, n, m, seed=3)
+    fused = FusedBatchedIPM(Settings(), n=n, m_ineq=m, bt=8,
+                            dtype=jnp.float64)
+    f = fused.solve_fused(data)
+    assert f["x"].shape == (B, n)
+    assert bool(jnp.all(f["converged"]))
+
+
+def test_fused_box_only():
+    B, n = 6, 5
+    data = make_batch(B, n, 0, seed=4)
+    fused = FusedBatchedIPM(Settings(inequalities=Bounds.NONE), n=n,
+                            bt=8, dtype=jnp.float64)
+    ref = CompiledIPM(Settings(inequalities=Bounds.NONE), n=n,
+                      dtype=jnp.float64, kernel="jnp")
+    f = fused.solve_fused(data)
+    r = ref.solve_batch(data)
+    np.testing.assert_allclose(np.asarray(f["x"]), np.asarray(r.x),
+                               atol=1e-11)
