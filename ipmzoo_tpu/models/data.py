@@ -62,10 +62,11 @@ class QPData:
         Q = jnp.asarray(Q, dtype)
         dtype = Q.dtype
         n = Q.shape[-1]
+        batch = Q.shape[:-2]   # leading batch axes, if any
         c = jnp.asarray(c, dtype)
 
-        def arr(v, shape):
-            return (jnp.zeros(shape, dtype) if v is None
+        def arr(v, tail):
+            return (jnp.zeros(batch + tail, dtype) if v is None
                     else jnp.asarray(v, dtype))
 
         A_ineq = arr(A_ineq, (0, n))

@@ -54,10 +54,12 @@ class SolveResult:
     residual: jnp.ndarray
     gap: jnp.ndarray
     converged: jnp.ndarray
+    diverged: jnp.ndarray    # numerical failure (NaN/inf) detected
 
     def tree_flatten(self):
         return ((self.x, self.variables, self.objective, self.iterations,
-                 self.residual, self.gap, self.converged), None)
+                 self.residual, self.gap, self.converged,
+                 self.diverged), None)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
@@ -125,11 +127,18 @@ class CompiledIPM:
         aug = augmented_system(reduced)
         self.full, self.sh, self.aug = full, sh, aug
 
-        if any(aug.lhs[i][i] is E.ZERO for i in range(len(aug.lhs))):
+        # A symbolically zero diagonal block means the augmented system is
+        # genuinely indefinite: unpivoted LDL^T is unsound there, so those
+        # formulations route to a partial-pivoting LU factorisation (the
+        # reference implementation simply hard-fails on them,
+        # Optimizer.cpp:75).
+        self._indefinite = any(aug.lhs[i][i] is E.ZERO
+                               for i in range(len(aug.lhs)))
+        if self._indefinite and kernel not in ("auto", "lu"):
             raise NotImplementedError(
                 "augmented system has a symbolically zero diagonal block "
-                "(indefinite); use a formulation with a quasi-definite "
-                "augmented system")
+                "(indefinite); use kernel='lu' (or 'auto'), or a "
+                "formulation with a quasi-definite augmented system")
 
         # --- sizes, offsets, index maps ----------------------------------
         size_of = {
@@ -208,7 +217,9 @@ class CompiledIPM:
         #   block is large enough for blocked Cholesky to win.
         can_block = (len(self.aug.variables) == 2 and
                      self.aug.variables[0] is o.x)
-        if kernel == "block":
+        if self._indefinite or kernel == "lu":
+            self._mode = "lu"
+        elif kernel == "block":
             if not can_block:
                 raise ValueError("kernel='block' needs a 2x2 augmented "
                                  "system with x in the leading block")
@@ -310,6 +321,21 @@ class CompiledIPM:
     def _make_solve(self, env):
         """Factor the augmented KKT once; return solve(b) -> sol with
         optional iterative refinement baked in."""
+        if self._mode == "lu":
+            from jax.scipy.linalg import lu_factor, lu_solve
+            K = self._assemble_kkt(env)
+            factors = lu_factor(K)
+
+            def solve(b):
+                if b.shape[0] == 0:
+                    return b
+                sol = lu_solve(factors, b)
+                for _ in range(self.refine):
+                    sol = sol + lu_solve(factors, b - K @ sol)
+                return sol
+
+            return solve
+
         if self._mode == "block":
             from ..ops.block_solve import (block2_factor, block2_matvec,
                                            block2_solve)
@@ -517,7 +543,9 @@ class CompiledIPM:
 
         def cond(state):
             done = (state.residual < res_tol) & (state.gap < tol)
-            return (~done) & (state.iteration < self.max_iter)
+            bad = jnp.isnan(state.residual) | jnp.isinf(state.residual) | \
+                jnp.isnan(state.gap)
+            return (~done) & (~bad) & (state.iteration < self.max_iter)
 
         state = jax.lax.while_loop(cond, lambda s: self._step_impl(s, data),
                                    state0)
@@ -533,6 +561,8 @@ class CompiledIPM:
             residual=state.residual,
             gap=state.gap,
             converged=(state.residual < res_tol) & (state.gap < tol),
+            diverged=jnp.isnan(state.residual) |
+            jnp.isinf(state.residual) | jnp.isnan(state.gap),
         )
 
     # ------------------------------------------------------------------

@@ -173,12 +173,41 @@ class TestBatched:
             np.testing.assert_allclose(np.asarray(res.x[i]), x_ref, atol=1e-6)
 
 
-class TestIndefiniteGuard:
-    def test_zero_diagonal_raises(self):
-        # equalities with EqualityHandling.NONE and no bounds produce a zero
-        # block on the augmented diagonal -> clear compile-time error
+class TestIndefiniteSystems:
+    """Equalities with EqualityHandling.NONE keep a zero diagonal block:
+    the augmented system is genuinely indefinite.  The reference hard-fails
+    there (Optimizer.cpp:75); we route to partial-pivoting LU."""
+
+    SETTINGS = Settings(
+        inequalities=Bounds.NONE, variable_bounds=Bounds.NONE,
+        equalities=True, equality_handling=EqualityHandling.NONE)
+
+    def test_zero_diagonal_raises_for_ldlt(self):
         with pytest.raises(NotImplementedError):
-            CompiledIPM(Settings(
-                inequalities=Bounds.NONE, variable_bounds=Bounds.NONE,
-                equalities=True, equality_handling=EqualityHandling.NONE),
-                n=3, m_eq=1)
+            CompiledIPM(self.SETTINGS, n=3, m_eq=1, kernel="ldlt")
+
+    def test_lu_solves_equality_qp(self):
+        # min 1/2||x||^2 - x1 s.t. sum(x) = 1 -> x = (1,0,0) + lam, lam=0
+        n = 3
+        data = QPData.make(
+            Q=np.eye(n), c=[-1.0, 0.0, 0.0],
+            A_eq=np.ones((1, n)), b_eq=[1.0], dtype=jnp.float64)
+        s = CompiledIPM(self.SETTINGS, n=n, m_eq=1)  # auto -> LU
+        assert s._mode == "lu"
+        res = s.solve(data)
+        assert bool(res.converged) and not bool(res.diverged)
+        np.testing.assert_allclose(np.asarray(res.x), [1.0, 0.0, 0.0],
+                                   atol=1e-9)
+
+
+class TestDivergenceGuard:
+    def test_nan_data_flags_diverged(self):
+        data = QPData.make(
+            Q=[[np.nan, 0.0], [0.0, 1.0]], c=[0.0, 0.0],
+            l_x=[-1.0, -1.0], u_x=[1.0, 1.0], dtype=jnp.float64)
+        s = CompiledIPM(Settings(inequalities=Bounds.NONE), n=2)
+        res = s.solve(data)
+        assert bool(res.diverged)
+        assert not bool(res.converged)
+        # the NaN guard exits the loop early instead of burning max_iter
+        assert int(res.iterations) < 5
