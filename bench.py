@@ -133,6 +133,41 @@ def bench_sharded(data, backend):
     return label, BATCH * STEPS / (t1 - t0)
 
 
+def bench_kkt(data, backend):
+    """Batched KKT factor+solve throughput (GFLOP/s/chip) via the Pallas
+    VMEM-resident kernels."""
+    import jax
+    import jax.numpy as jnp
+    from ipmzoo_tpu.ops.pallas_ldlt import (batched_ldlt_pallas,
+                                            batched_solve_ldlt_pallas)
+    rng = np.random.default_rng(0)
+    B, n1, n2 = BATCH, N + M_INEQ, M_INEQ   # augmented-ish sizing
+    n = n1 + n2
+    M = rng.normal(size=(B, n, n)).astype(np.float32)
+    A = jnp.asarray(np.einsum("bij,bkj->bik", M, M) / n +
+                    np.eye(n, dtype=np.float32))
+    b = jnp.asarray(rng.normal(size=(B, n)), jnp.float32)
+
+    @jax.jit
+    def factor_solve(A, b):
+        L, D = batched_ldlt_pallas(A)
+        return batched_solve_ldlt_pallas(L, D, b)
+
+    out = factor_solve(A, b)
+    jax.block_until_ready(out)
+    reps = 10
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = factor_solve(A, b)
+    jax.block_until_ready(out)
+    t1 = time.perf_counter()
+    flops = B * (n ** 3 / 3 + 2 * n * n) * 2
+    gflops = flops * reps / (t1 - t0) / 1e9
+    label = (f"batched KKT LDL^T factor+solve, {B} systems of dim {n} "
+             f"({backend}, Pallas)")
+    return label, gflops, "GFLOP/s"
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -144,21 +179,29 @@ def main():
     # instruction-issue-bound at these instance sizes; see
     # models/fused.py). BENCH_MODE=fused measures the fused kernel.
     mode = os.environ.get("BENCH_MODE", "steps")
+    unit = "iterations/s"
+    baseline = REFERENCE_ITERS_PER_SEC
     try:
         if mode == "fused" and backend == "tpu":
-            label, its_per_sec = bench_fused(data, backend)
+            label, value = bench_fused(data, backend)
         elif mode == "sharded":
-            label, its_per_sec = bench_sharded(data, backend)
+            label, value = bench_sharded(data, backend)
+        elif mode == "kkt":
+            label, value, unit = bench_kkt(data, backend)
+            # reference LDL^T factor+solve measured at 2.88 GFLOP/s
+            # single-core on this host (n=48 dense, its LinearSolvers
+            # driven by a timing harness)
+            baseline = 2.88
         else:
-            label, its_per_sec = bench_steps(data, backend)
+            label, value = bench_steps(data, backend)
     except Exception:
-        label, its_per_sec = bench_steps(data, backend)
+        label, value = bench_steps(data, backend)
 
     print(json.dumps({
         "metric": label,
-        "value": round(its_per_sec, 1),
-        "unit": "iterations/s",
-        "vs_baseline": round(its_per_sec / REFERENCE_ITERS_PER_SEC, 2),
+        "value": round(value, 1),
+        "unit": unit,
+        "vs_baseline": round(value / baseline, 2),
     }))
 
 

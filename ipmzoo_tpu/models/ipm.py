@@ -294,6 +294,23 @@ class CompiledIPM:
             gap = jnp.sum(jnp.abs(jnp.concatenate(comp))) / comp_size
         return residual, gap
 
+    def _gap_only(self, env0):
+        """Duality measure alone (evaluates only the complementarity
+        rows — used for mu_aff at the affine trial point, where the full
+        residual is not needed)."""
+        dt = self.dtype
+        comp_size = sum(self.var_sizes[i] for i in self.comp_rows)
+        if comp_size == 0:
+            return jnp.asarray(0.0, dt)
+        memo = {}
+        acc = jnp.asarray(0.0, dt)
+        for i in self.comp_rows:
+            v = cg.as_vector(cg.evaluate(self.full.rhs[i], env0, memo),
+                             self.var_sizes[i])
+            if v.shape[0]:
+                acc = acc + jnp.sum(jnp.abs(v))
+        return acc / comp_size
+
     def _assemble_blocks(self, env):
         """Evaluate each augmented-system cell as a dense block."""
         memo = {}
@@ -513,7 +530,7 @@ class CompiledIPM:
         trial = tuple(v + alpha_aff * d
                       for v, d in zip(state.vars, d_aff))
         tenv = self._env(data, trial, 0.0)
-        _, gap_aff = self._metrics(tenv)
+        gap_aff = self._gap_only(tenv)
         dt = self.dtype
         safe_gap = jnp.where(gap > 0, gap, 1.0)
         sigma = jnp.where(gap > 0, (gap_aff / safe_gap) ** 3, 0.0)
@@ -579,4 +596,6 @@ class CompiledIPM:
 
     def solve_batch(self, data: QPData) -> SolveResult:
         """Solve a batch of QPs (leading batch axis on every leaf)."""
-        return jax.jit(jax.vmap(self._solve_impl))(data)
+        if not hasattr(self, "_solve_batch_jit"):
+            self._solve_batch_jit = jax.jit(jax.vmap(self._solve_impl))
+        return self._solve_batch_jit(data)
