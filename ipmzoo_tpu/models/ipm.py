@@ -498,16 +498,31 @@ class CompiledIPM:
     # iteration / loop
     # ------------------------------------------------------------------
 
-    def init_state(self, data: QPData) -> IPMState:
+    def init_state(self, data: QPData,
+                   warm_start: Optional[dict] = None) -> IPMState:
+        """Build the initial iterate: bound midpoints for x and s, ones
+        elsewhere (the reference's initialisation).  ``warm_start`` maps
+        variable names (e.g. ``"x"``) to starting values — for MPC-style
+        receding-horizon resolves, pass the previous solution's
+        ``SolveResult.variables``; interior variables are nudged off
+        their bounds for strict feasibility."""
         dt = self.dtype
         o = self.symbols
         init = {
             o.x: 0.5 * (data.l_x + data.u_x).astype(dt),
             o.s_A_ineq: 0.5 * (data.l_A_ineq + data.u_A_ineq).astype(dt),
         }
+        nonneg = {self.full.variables[i] for i in self.nonneg_idx}
         vals = []
         for v, sz in zip(self.full.variables, self.var_sizes):
-            vals.append(init.get(v, jnp.ones(sz, dt)))
+            if warm_start is not None and v.name in warm_start:
+                w = jnp.asarray(warm_start[v.name], dt)
+                if v in nonneg:
+                    # keep strictly interior
+                    w = jnp.maximum(w, 1e-2)
+                vals.append(w)
+            else:
+                vals.append(init.get(v, jnp.ones(sz, dt)))
         env0 = self._env(data, vals, 0.0)
         residual, gap = self._metrics(env0)
         return IPMState(vars=tuple(vals), mu=jnp.asarray(self.mu0, dt),
@@ -550,8 +565,9 @@ class CompiledIPM:
                         iteration=state.iteration + 1,
                         residual=residual, gap=new_gap)
 
-    def _solve_impl(self, data: QPData) -> SolveResult:
-        state0 = self.init_state(data)
+    def _solve_impl(self, data: QPData,
+                    warm_start: Optional[dict] = None) -> SolveResult:
+        state0 = self.init_state(data, warm_start)
         if self.scale_tol:
             res_tol = self.tol * (1.0 + state0.residual)
         else:
@@ -586,9 +602,17 @@ class CompiledIPM:
     # public API
     # ------------------------------------------------------------------
 
-    def solve(self, data: QPData) -> SolveResult:
-        """Solve one QP instance (jitted; first call compiles)."""
-        return self._solve_jit(data)
+    def solve(self, data: QPData,
+              warm_start: Optional[dict] = None) -> SolveResult:
+        """Solve one QP instance (jitted; first call compiles).
+
+        ``warm_start``: optional dict of variable name -> initial value
+        (e.g. a previous ``SolveResult.variables``)."""
+        if warm_start is None:
+            return self._solve_jit(data)
+        if not hasattr(self, "_solve_warm_jit"):
+            self._solve_warm_jit = jax.jit(self._solve_impl)
+        return self._solve_warm_jit(data, warm_start)
 
     def step(self, state: IPMState, data: QPData) -> IPMState:
         """One jitted IPM iteration (for benchmarking / inspection)."""
