@@ -175,11 +175,12 @@ def main():
 
     backend = jax.default_backend()
     data = make_batch(BATCH, N, M_INEQ, jnp.float32)
-    # The fused whole-solve Pallas kernel (everything VMEM-resident for
-    # the entire solve) is the fastest engine on TPU: 0.134 ms median per
-    # 10k-QP batch solve on v5e. Non-TPU backends fall back to the
-    # vmapped-step XLA path.
-    mode = os.environ.get("BENCH_MODE", "fused")
+    # Default engine: the vmapped-step XLA path — robust across
+    # environments. The fused whole-solve Pallas kernel (BENCH_MODE=fused)
+    # measured 0.134 ms median per 10240-QP batch solve on v5e (~7x
+    # faster), but a tunnelled-TPU environment wedged once while driving
+    # it, so the default stays on the proven path; see models/fused.py.
+    mode = os.environ.get("BENCH_MODE", "steps")
     unit = "iterations/s"
     baseline = REFERENCE_ITERS_PER_SEC
     try:
