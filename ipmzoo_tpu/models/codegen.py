@@ -120,6 +120,20 @@ def add_tv(x: TV, y: TV) -> TV:
         return matrix(jnp.diag(x.val) + y.val)
     if x.tag == "matrix" and y.tag == "matrix":
         return matrix(x.val + y.val)
+    # Identity convention: simplification rewrites e.g. diag(v) diag(v)^-1
+    # to the literal 1, which in an additive matrix context means the
+    # identity matrix (the same convention the symbolic layer renders as
+    # I and as_block materialises as s*eye).  Scalars therefore add onto
+    # the diagonal of diag/matrix operands.
+    if x.tag == "scalar" and y.tag == "diag":
+        return diag(y.val + x.val)
+    if x.tag == "diag" and y.tag == "scalar":
+        return diag(x.val + y.val)
+    if x.tag == "scalar" and y.tag == "matrix":
+        n = y.val.shape[0]
+        return matrix(y.val + x.val * jnp.eye(n, dtype=y.val.dtype))
+    if x.tag == "matrix" and y.tag == "scalar":
+        return add_tv(y, x)
     raise TypeError(f"cannot add {x.tag} and {y.tag}")
 
 
@@ -132,15 +146,18 @@ def multiply_tv(x: TV, y: TV) -> TV:
         return _unary(y, lambda v: x.val * v)
     if yt == "scalar":
         return _unary(x, lambda v: v * y.val)
-    # inner products
-    if (xt, yt) in (("vector", "vector"), ("rowvec", "vector")):
+    # inner products: ANY product of two (row)vectors is a dot product —
+    # the reference has no row/column distinction (both are ValVector and
+    # vec*vec -> dot, Evaluation.cpp:29-31); canonical product reordering
+    # during simplification relies on exactly these semantics (e.g.
+    # `x^T c^T c c` groups as (x.c)(c.c) and is correct by commutativity)
+    if xt in ("vector", "rowvec") and yt in ("vector", "rowvec"):
         return scalar(jnp.dot(x.val, y.val))
-    # elementwise among 1-d operands: diag*diag stays diag, any mix with a
-    # (row)vector yields that vector type
+    # elementwise when a diagonal is involved; diag*diag stays diag
     if xt in ("vector", "diag", "rowvec") and yt in ("vector", "diag", "rowvec"):
         if xt == "diag" and yt == "diag":
             return diag(x.val * y.val)
-        out_tag = "rowvec" if "rowvec" in (xt, yt) else "vector"
+        out_tag = yt if xt == "diag" else xt
         return TV(out_tag, x.val * y.val)
     # matrix-vector forms
     if xt == "matrix" and yt == "vector":

@@ -99,6 +99,18 @@ def add_tv(x: TV, y: TV) -> TV:
         return add_tv(y, x)
     if x.tag == "matrix" and y.tag == "matrix":
         return matrix(x.val + y.val)
+    # identity convention (see codegen.add_tv): a literal scalar in an
+    # additive matrix context is scalar * I
+    if x.tag == "scalar" and y.tag == "diag":
+        return diag(y.val + x.val)
+    if x.tag == "diag" and y.tag == "scalar":
+        return diag(x.val + y.val)
+    if x.tag == "scalar" and y.tag == "matrix":
+        k = y.val.shape[0]
+        eye = jnp.eye(k, dtype=y.val.dtype)[:, :, None]
+        return matrix(y.val + eye * x.val[:, None, :])
+    if x.tag == "matrix" and y.tag == "scalar":
+        return add_tv(y, x)
     raise TypeError(f"cannot add {x.tag} and {y.tag}")
 
 
@@ -113,12 +125,14 @@ def multiply_tv(x: TV, y: TV) -> TV:
     if yt == "scalar":
         return multiply_tv(y, x) if xt != "matrix" else \
             matrix(x.val * y.val[:, None, :])
-    if (xt, yt) in (("vector", "vector"), ("rowvec", "vector")):
+    # any (row)vector pair is a dot product — mirrors codegen.py /
+    # the reference's ValVector semantics
+    if xt in ("vector", "rowvec") and yt in ("vector", "rowvec"):
         return scalar(jnp.sum(x.val * y.val, axis=0, keepdims=True))
     if xt in _VECLIKE and yt in _VECLIKE:
         if xt == "diag" and yt == "diag":
             return diag(x.val * y.val)
-        tag = "rowvec" if "rowvec" in (xt, yt) else "vector"
+        tag = yt if xt == "diag" else xt
         return TV(tag, x.val * y.val)
     if xt == "matrix" and yt == "vector":
         # (k, l, BT) x (l, BT) -> (k, BT): multiply-reduce over axis 1

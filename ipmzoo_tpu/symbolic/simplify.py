@@ -69,10 +69,14 @@ def _simplify_transpose(e: Expr, distribute: bool) -> Expr:
              Kind.DIAGONAL_MATRIX):
         return child  # symmetric under transpose
     if k == Kind.INVERT:
-        # Only inverses of diagonal matrices appear transposed; those are
-        # symmetric, so the transpose is dropped.
-        assert child.child.kind == Kind.DIAGONAL_MATRIX
-        return child
+        # In IPM derivations only inverses of diagonal matrices appear
+        # transposed; those are symmetric, so the transpose is dropped —
+        # as are inverses of scalars and symmetric matrices (a superset
+        # of the reference, which asserts the diagonal case).
+        if child.child.kind in (Kind.DIAGONAL_MATRIX, Kind.NUMBER,
+                                Kind.NAMED_SCALAR, Kind.SYMMETRIC_MATRIX):
+            return child
+        return transpose(child)
     if k == Kind.NEGATE:
         return negate(transpose(child.child))  # (-x)^T = -x^T
     if k == Kind.SUM:
@@ -108,6 +112,12 @@ def _simplify_negate(e: Expr, distribute: bool) -> Expr:
     return negate(child)
 
 
+_INVERTIBLE_FACTORS = frozenset({
+    Kind.NUMBER, Kind.NAMED_SCALAR, Kind.DIAGONAL_MATRIX, Kind.INVERT,
+    Kind.SYMMETRIC_MATRIX, Kind.MATRIX, Kind.NEGATE,
+})
+
+
 def _simplify_invert(e: Expr, distribute: bool) -> Expr:
     child = e.child.simplify_once(distribute)
     if child is UNITY:
@@ -118,7 +128,13 @@ def _simplify_invert(e: Expr, distribute: bool) -> Expr:
     if k == Kind.NEGATE:
         return negate(invert(child.child))  # (-x)^-1 = -(x^-1)
     if k == Kind.PRODUCT:
-        return product([invert(t) for t in reversed(child.terms)])
+        # (xyz)^-1 = z^-1 y^-1 x^-1 — sound only when every factor is
+        # individually invertible.  Blind distribution (as the reference
+        # does) is wrong for products containing vector factors whose
+        # inner product forms a scalar: (v^T w)^-1 != w^-1 (v^T)^-1.
+        if all(t.kind in _INVERTIBLE_FACTORS for t in child.terms):
+            return product([invert(t) for t in reversed(child.terms)])
+        return invert(child)
     return invert(child)
 
 
