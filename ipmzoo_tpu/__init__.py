@@ -23,3 +23,21 @@ Capabilities (re-designed TPU-first from the reference albfre/ipm-zoo):
 """
 
 __version__ = "0.1.0"
+
+# Convenience top-level API: the names a user needs for the common path.
+from .formulations import (Bounds, EqualityHandling,  # noqa: E402
+                           InequalityHandling, Settings, VariableNames)
+
+
+def __getattr__(name):
+    # heavier imports (jax) stay lazy so `import ipmzoo_tpu` is instant
+    if name in ("CompiledIPM", "QPData", "SolveResult", "IPMState"):
+        from . import models
+        return getattr(models, name)
+    if name == "FusedBatchedIPM":
+        from .models.fused import FusedBatchedIPM
+        return FusedBatchedIPM
+    if name == "SchurIPM":
+        from .parallel.schur import SchurIPM
+        return SchurIPM
+    raise AttributeError(name)

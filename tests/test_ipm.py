@@ -211,3 +211,25 @@ class TestDivergenceGuard:
         assert not bool(res.converged)
         # the NaN guard exits the loop early instead of burning max_iter
         assert int(res.iterations) < 5
+
+
+class TestGondzio:
+    def test_gondzio_correctors(self, solvers):
+        """Gondzio rounds must preserve the solution and not increase
+        iteration count."""
+        rng = np.random.default_rng(3)
+        n, m = 12, 5
+        M = rng.normal(size=(n, n))
+        data = QPData.make(
+            Q=M @ M.T / n + np.eye(n), c=rng.normal(size=n),
+            A_ineq=rng.normal(size=(m, n)),
+            l_A_ineq=-np.abs(rng.normal(size=m)) - 1,
+            u_A_ineq=np.abs(rng.normal(size=m)) + 1,
+            l_x=-5 * np.ones(n), u_x=5 * np.ones(n), dtype=jnp.float64)
+        plain = get_solver(solvers, Settings(), n, m)
+        gz = get_solver(solvers, Settings(), n, m, gondzio=2)
+        r0, r2 = plain.solve(data), gz.solve(data)
+        assert bool(r0.converged) and bool(r2.converged)
+        assert int(r2.iterations) <= int(r0.iterations)
+        np.testing.assert_allclose(np.asarray(r2.x), np.asarray(r0.x),
+                                   atol=1e-7)
