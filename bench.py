@@ -207,5 +207,25 @@ def main():
     }))
 
 
+def _probe_accelerator(timeout_s: int = 180) -> bool:
+    """Check in a subprocess that the configured JAX backend can actually
+    execute (a wedged TPU tunnel hangs instead of failing); on timeout,
+    fall back to CPU so the benchmark always reports a number."""
+    import subprocess
+    code = ("import jax, jax.numpy as jnp;"
+            "x = jnp.ones((64, 64));"
+            "print(float((x @ x).sum()))")
+    try:
+        out = subprocess.run([sys.executable, "-c", code],
+                             capture_output=True, timeout=timeout_s)
+        return out.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 if __name__ == "__main__":
+    if not _probe_accelerator():
+        sys.stderr.write("bench: accelerator probe failed/hung; "
+                         "falling back to CPU\n")
+        os.environ["JAX_PLATFORMS"] = "cpu"
     main()

@@ -130,8 +130,14 @@ class FusedBatchedIPM(CompiledIPM):
     critical: the factorisation runs IN PLACE in a single scratch buffer
     precisely because an extra (N, N, bt) buffer pushes the working set
     into VMEM pressure, where the same kernel degrades ~100x (observed
-    before the in-place rewrite, and again at bt=1024).  Timings can also
-    degrade when other large executables share the device."""
+    before the in-place rewrite, and again at bt=1024).
+
+    CAUTION: use batch sizes that are a multiple of ``bt``.  Aligned
+    batches ran ~100 calls cleanly on v5e; the padded-batch configuration
+    (B=10000 with bt=512) twice wedged a tunnelled-TPU device mid-run in
+    this environment (suspected toolchain issue — the same program is
+    exact in interpreter mode and on aligned batches).  solve_fused warns
+    when padding is required."""
 
     def __init__(self, settings: Settings, n: int, m_ineq: int = 0,
                  m_eq: int = 0, *, bt: int = 512, interpret=None, **kw):
@@ -445,6 +451,13 @@ class FusedBatchedIPM(CompiledIPM):
         B = data.Q.shape[0]
         bt = self.bt
         Bpad = _round_up(B, bt)
+        if Bpad != B and not self.interpret:
+            import warnings
+            warnings.warn(
+                f"fused solve: batch {B} is not a multiple of the tile "
+                f"size {bt}; padding to {Bpad}. Prefer aligned batches — "
+                "see the class docstring for a TPU-environment caveat.",
+                stacklevel=2)
 
         def to_soa(arr, dims):
             # Pad the batch axis FIRST (leading axis), then transpose:
