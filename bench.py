@@ -23,7 +23,9 @@ import numpy as np
 
 REFERENCE_ITERS_PER_SEC = 662.0   # reference C++ on this host, n=16 m=8
 
-BATCH = int(os.environ.get("BENCH_BATCH", 10000))
+# default batch is tile-aligned (multiple of 512) so the fused engine is
+# eligible; see models/fused.py
+BATCH = int(os.environ.get("BENCH_BATCH", 10240))
 N = int(os.environ.get("BENCH_N", 16))
 M_INEQ = int(os.environ.get("BENCH_M", 8))
 STEPS = int(os.environ.get("BENCH_STEPS", 10))
@@ -169,17 +171,19 @@ def bench_kkt(data, backend):
     return label, gflops, "GFLOP/s"
 
 
-def main():
+def main(force_cpu: bool = False):
+    """Run ONE engine (BENCH_MODE in the environment) and print the JSON
+    line.  Orchestration across engines/devices happens in __main__,
+    which never touches jax itself."""
     import jax
+    if force_cpu:
+        # the axon TPU plugin overrides JAX_PLATFORMS, so the env var
+        # alone does not switch backends — use the config API
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     backend = jax.default_backend()
     data = make_batch(BATCH, N, M_INEQ, jnp.float32)
-    # Default engine: the vmapped-step XLA path — robust across
-    # environments. The fused whole-solve Pallas kernel (BENCH_MODE=fused)
-    # measured 0.134 ms median per 10240-QP batch solve on v5e (~7x
-    # faster), but a tunnelled-TPU environment wedged once while driving
-    # it, so the default stays on the proven path; see models/fused.py.
     mode = os.environ.get("BENCH_MODE", "steps")
     unit = "iterations/s"
     baseline = REFERENCE_ITERS_PER_SEC
@@ -207,6 +211,36 @@ def main():
     }))
 
 
+def _run_engine(mode: str, timeout_s: int, force_cpu: bool = False,
+                expect: str = ""):
+    """Run one engine in a subprocess (BENCH_WORKER=1 -> main());
+    returns the parsed JSON record or None on failure/timeout."""
+    import subprocess
+    env = dict(os.environ, BENCH_MODE=mode, BENCH_WORKER="1")
+    if force_cpu:
+        env["BENCH_FORCE_CPU"] = "1"
+    try:
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             capture_output=True, timeout=timeout_s,
+                             env=env, text=True,
+                             cwd=os.path.dirname(os.path.abspath(__file__)))
+    except subprocess.TimeoutExpired:
+        return None
+    if out.returncode != 0:
+        return None
+    for line in reversed(out.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                return None
+            if expect and expect not in rec.get("metric", ""):
+                return None
+            return rec
+    return None
+
+
 def _probe_accelerator(timeout_s: int = 180) -> bool:
     """Check in a subprocess that the configured JAX backend can actually
     execute (a wedged TPU tunnel hangs instead of failing); on timeout,
@@ -224,8 +258,39 @@ def _probe_accelerator(timeout_s: int = 180) -> bool:
 
 
 if __name__ == "__main__":
-    if not _probe_accelerator():
-        sys.stderr.write("bench: accelerator probe failed/hung; "
-                         "falling back to CPU\n")
-        os.environ["JAX_PLATFORMS"] = "cpu"
-    main()
+    if os.environ.get("BENCH_WORKER"):
+        # subprocess worker: run exactly the engine named in BENCH_MODE
+        main(force_cpu=bool(os.environ.get("BENCH_FORCE_CPU")))
+        sys.exit(0)
+
+    # Orchestrator: never touches jax; every engine attempt runs in a
+    # guarded subprocess so a wedged TPU tunnel (which HANGS rather than
+    # fails) can never take the benchmark down.
+    explicit = os.environ.get("BENCH_MODE")
+    if explicit:
+        rec = _run_engine(explicit, timeout_s=540)
+        if rec is not None:
+            print(json.dumps(rec))
+            sys.exit(0)
+        sys.stderr.write(f"bench: BENCH_MODE={explicit} failed; "
+                         "falling back\n")
+
+    # NOTE: the fused whole-solve engine (BENCH_MODE=fused) measured
+    # 0.134 ms median per aligned 10240-QP batch on a healthy v5e (~7x
+    # the step path, ~811,000x the reference), but in THIS tunnelled
+    # environment it intermittently hangs the device mid-kernel — and a
+    # wedged tunnel stays unresponsive for tens of minutes, which would
+    # poison the rest of the benchmark.  It is therefore opt-in only;
+    # the default measures the robust vmapped-step engine.
+    device_ok = _probe_accelerator()
+    if device_ok:
+        rec = _run_engine("steps", timeout_s=420)
+        if rec is not None:
+            print(json.dumps(rec))
+            sys.exit(0)
+
+    sys.stderr.write("bench: accelerator unavailable; reporting CPU\n")
+    rec = _run_engine("steps", timeout_s=540, force_cpu=True)
+    if rec is None:
+        raise SystemExit("bench: even the CPU fallback failed")
+    print(json.dumps(rec))
