@@ -136,6 +136,42 @@ def bench_sharded(data, backend):
     return label, BATCH * STEPS / (t1 - t0)
 
 
+def bench_mpc(backend):
+    """Structured MPC: batched Riccati IPM solves (block-tridiagonal KKT,
+    O(T) per iteration vs the condensed dense path's O(T^3))."""
+    import statistics
+
+    import jax
+    import jax.numpy as jnp
+    from ipmzoo_tpu.models.mpc import RiccatiIPM, random_mpc
+
+    T = int(os.environ.get("BENCH_MPC_T", 32))
+    ns = int(os.environ.get("BENCH_MPC_NS", 8))
+    nu = int(os.environ.get("BENCH_MPC_NU", 4))
+    batch = int(os.environ.get("BENCH_MPC_BATCH", 256))
+    data = random_mpc(horizon=T, n_states=ns, n_controls=nu, batch=batch,
+                      seed=0, dtype=jnp.float32)
+    solver = RiccatiIPM(T, ns, nu, dtype=jnp.float32, tol=1e-5,
+                        max_iter=40)
+    res = solver.solve_batch(data)
+    jax.block_until_ready(res.u)
+    conv = float(jnp.mean(res.converged.astype(jnp.float32)))
+    if conv < 0.95:
+        raise RuntimeError(f"mpc convergence too low: {conv}")
+    times = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        res = solver.solve_batch(data)
+        jax.block_until_ready(res.u)
+        times.append(time.perf_counter() - t0)
+    iters = float(jnp.mean(res.iterations))
+    its_per_sec = batch * iters / statistics.median(times)
+    label = (f"IPM iterations/s, {batch} structured MPC QPs fully solved "
+             f"(Riccati, T={T}, ns={ns}, nu={nu}, {backend}, "
+             f"{conv * 100:.1f}% converged)")
+    return label, its_per_sec
+
+
 def bench_kkt(data, backend):
     """Batched KKT factor+solve throughput (GFLOP/s/chip) via the Pallas
     VMEM-resident kernels."""
@@ -192,6 +228,8 @@ def main(force_cpu: bool = False):
             label, value = bench_fused(data, backend)
         elif mode == "sharded":
             label, value = bench_sharded(data, backend)
+        elif mode == "mpc":
+            label, value = bench_mpc(backend)
         elif mode == "kkt":
             label, value, unit = bench_kkt(data, backend)
             # reference LDL^T factor+solve measured at 2.88 GFLOP/s

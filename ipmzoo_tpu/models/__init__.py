@@ -2,5 +2,7 @@
 
 from .data import QPData, validate
 from .ipm import CompiledIPM, IPMState, SolveResult
+from .mpc import MPCData, MPCSolveResult, RiccatiIPM
 
-__all__ = ["QPData", "validate", "CompiledIPM", "IPMState", "SolveResult"]
+__all__ = ["QPData", "validate", "CompiledIPM", "IPMState", "SolveResult",
+           "MPCData", "MPCSolveResult", "RiccatiIPM"]
