@@ -38,7 +38,7 @@ import jax.numpy as jnp
 from ..formulations import (Settings, VariableNames, augmented_system,
                             build_symbols, delta_variable, newton_system,
                             shorthand_rhs)
-from ..ops.ldlt import ldlt, solve_ldlt
+from ..ops.ldlt import solve_ldlt
 from ..symbolic import expr as E
 from . import codegen as cg
 from .data import QPData
@@ -219,10 +219,21 @@ class CompiledIPM:
         #   kernels via custom_vmap.
         # "block": MXU-native block elimination (Cholesky + dense Schur)
         #   for 2x2 augmented structures — the fast path for large n.
+        # "blockg": signed block-Cholesky over the symbolic group
+        #   structure (ops/blockg.py) — G Cholesky stages + MXU trailing
+        #   updates for ANY quasi-definite augmented system; diagonal
+        #   signs are structural (+ primal groups, - dual groups,
+        #   Vanderbei 1995).
         # "auto": block when the augmented system is 2x2 and the leading
-        #   block is large enough for blocked Cholesky to win.
+        #   block is large enough for blocked Cholesky to win; blockg for
+        #   other large quasi-definite structures.
         can_block = (len(self.aug.variables) == 2 and
                      self.aug.variables[0] is o.x)
+        dual_groups = {o.lambda_A_ineq, o.lambda_sAineql, o.lambda_sAinequ,
+                       o.lambda_A_eq, o.lambda_sAeql, o.lambda_sAequ,
+                       o.lambda_sxl, o.lambda_sxu}
+        self.group_signs = tuple(
+            -1.0 if v in dual_groups else 1.0 for v in self.aug.variables)
         if self._indefinite or kernel == "lu":
             self._mode = "lu"
         elif kernel == "block":
@@ -230,8 +241,12 @@ class CompiledIPM:
                 raise ValueError("kernel='block' needs a 2x2 augmented "
                                  "system with x in the leading block")
             self._mode = "block"
+        elif kernel == "blockg":
+            self._mode = "blockg"
         elif kernel == "auto" and can_block and n >= 384:
             self._mode = "block"
+        elif kernel == "auto" and self.aug_dim >= 384:
+            self._mode = "blockg"
         else:
             self._mode = "ldlt"
         if self._mode == "ldlt" and kernel in ("auto", "ldlt") and \
@@ -240,7 +255,8 @@ class CompiledIPM:
             self._factor = ldlt_auto
             self._solve_kernel = solve_ldlt_auto
         else:
-            self._factor = lambda K: ldlt(K, self.pivot_floor)
+            from ..ops.blocked_ldlt import ldlt_blocked
+            self._factor = lambda K: ldlt_blocked(K, self.pivot_floor)
             self._solve_kernel = solve_ldlt
 
         # jitted entry points
@@ -355,6 +371,30 @@ class CompiledIPM:
                 sol = lu_solve(factors, b)
                 for _ in range(self.refine):
                     sol = sol + lu_solve(factors, b - K @ sol)
+                return sol
+
+            return solve
+
+        if self._mode == "blockg":
+            from ..ops.blockg import (blockg_factor, blockg_matvec,
+                                      blockg_solve)
+            blocks = self._assemble_blocks(env)
+            factors = blockg_factor(blocks, self.group_signs)
+            offs = []
+            off = 0
+            for s in self.aug_sizes:
+                offs.append(off)
+                off += s
+
+            def solve(b):
+                if b.shape[0] == 0:
+                    return b
+                sol = blockg_solve(factors, b)
+                for _ in range(self.refine):
+                    parts = [sol[o:o + s]
+                             for o, s in zip(offs, self.aug_sizes)]
+                    Kx = jnp.concatenate(blockg_matvec(blocks, parts))
+                    sol = sol + blockg_solve(factors, b - Kx)
                 return sol
 
             return solve

@@ -206,8 +206,10 @@ def batched_solve_ldlt_pallas(L: jnp.ndarray, D: jnp.ndarray,
 @jax.custom_batching.custom_vmap
 def ldlt_auto(A: jnp.ndarray):
     """LDL^T that automatically switches to the batched Pallas kernel
-    under vmap. Single-instance calls use the jnp kernel."""
-    return ldlt(A, PIVOT_FLOOR)
+    under vmap. Single-instance calls use the panel-blocked jnp kernel
+    (identical to the column kernel below one panel width)."""
+    from .blocked_ldlt import ldlt_blocked
+    return ldlt_blocked(A, PIVOT_FLOOR)
 
 
 @ldlt_auto.def_vmap
