@@ -94,7 +94,8 @@ class CompiledIPM:
                  fraction_to_boundary: float = 0.995, mu0: float = 1.0,
                  delta0: float = 1e-4, pivot_floor: float = 1e-8,
                  refine: int = 0, kernel: str = "auto",
-                 scale_tol: bool = False, gondzio: int = 0):
+                 scale_tol: bool = False, gondzio: int = 0,
+                 hybrid_refine: bool = False):
         self.settings = settings
         self.n, self.m_ineq, self.m_eq = n, m_ineq, m_eq
         self.dtype = dtype
@@ -107,6 +108,12 @@ class CompiledIPM:
         #: extra iterative-refinement sweeps per linear solve (use 1-2 in
         #: float32 to recover near-f64 direction accuracy on TPU)
         self.refine = refine
+        #: evaluate refinement residuals in two-float (double-single)
+        #: compensated arithmetic (ops/twofloat.py) — mixed-precision
+        #: refinement: f32 factorisation, ~2x-precision residual, so the
+        #: refined direction reaches the f32 representation floor even on
+        #: ill-conditioned systems.  No effect unless refine > 0.
+        self.hybrid_refine = hybrid_refine
 
         self._kernel_choice = kernel
         #: number of Gondzio multiple-centrality-corrector rounds per
@@ -357,6 +364,13 @@ class CompiledIPM:
                 for rb in blocks]
         return jnp.concatenate(rows, axis=0) if len(rows) > 1 else rows[0]
 
+    def _residual_fn(self, K):
+        """b - K sol for refinement: plain, or two-float compensated."""
+        if self.hybrid_refine:
+            from ..ops.twofloat import comp_residual
+            return lambda b, sol: comp_residual(b, K, sol)
+        return lambda b, sol: b - K @ sol
+
     def _make_solve(self, env):
         """Factor the augmented KKT once; return solve(b) -> sol with
         optional iterative refinement baked in."""
@@ -364,13 +378,14 @@ class CompiledIPM:
             from jax.scipy.linalg import lu_factor, lu_solve
             K = self._assemble_kkt(env)
             factors = lu_factor(K)
+            resid = self._residual_fn(K)
 
             def solve(b):
                 if b.shape[0] == 0:
                     return b
                 sol = lu_solve(factors, b)
                 for _ in range(self.refine):
-                    sol = sol + lu_solve(factors, b - K @ sol)
+                    sol = sol + lu_solve(factors, resid(b, sol))
                 return sol
 
             return solve
@@ -386,15 +401,21 @@ class CompiledIPM:
                 offs.append(off)
                 off += s
 
+            if self.hybrid_refine and self.refine:
+                resid = self._residual_fn(self._assemble_kkt(env))
+            else:
+                def resid(b, sol):
+                    parts = [sol[o:o + s]
+                             for o, s in zip(offs, self.aug_sizes)]
+                    return b - jnp.concatenate(
+                        blockg_matvec(blocks, parts))
+
             def solve(b):
                 if b.shape[0] == 0:
                     return b
                 sol = blockg_solve(factors, b)
                 for _ in range(self.refine):
-                    parts = [sol[o:o + s]
-                             for o, s in zip(offs, self.aug_sizes)]
-                    Kx = jnp.concatenate(blockg_matvec(blocks, parts))
-                    sol = sol + blockg_solve(factors, b - Kx)
+                    sol = sol + blockg_solve(factors, resid(b, sol))
                 return sol
 
             return solve
@@ -408,27 +429,34 @@ class CompiledIPM:
             C = -negC
             factors = block2_factor(H, B, C)
             n1 = self.aug_sizes[0]
+            if self.hybrid_refine and self.refine:
+                resid = self._residual_fn(self._assemble_kkt(env))
+            else:
+                def resid(b, sol):
+                    e1, e2 = block2_matvec(H, B, C, sol[:n1], sol[n1:])
+                    return b - jnp.concatenate([e1, e2])
 
             def solve(b):
-                r1, r2 = b[:n1], b[n1:]
-                dx, dy = block2_solve(factors, r1, r2)
+                dx, dy = block2_solve(factors, b[:n1], b[n1:])
+                sol = jnp.concatenate([dx, dy])
                 for _ in range(self.refine):
-                    e1, e2 = block2_matvec(H, B, C, dx, dy)
-                    cx, cy = block2_solve(factors, r1 - e1, r2 - e2)
-                    dx, dy = dx + cx, dy + cy
-                return jnp.concatenate([dx, dy])
+                    r = resid(b, sol)
+                    cx, cy = block2_solve(factors, r[:n1], r[n1:])
+                    sol = sol + jnp.concatenate([cx, cy])
+                return sol
 
             return solve
 
         K = self._assemble_kkt(env)
         L, D = self._factor(K)
+        resid = self._residual_fn(K)
 
         def solve(b):
             if b.shape[0] == 0:
                 return b
             sol = self._solve_kernel(L, D, b)
             for _ in range(self.refine):
-                sol = sol + self._solve_kernel(L, D, b - K @ sol)
+                sol = sol + self._solve_kernel(L, D, resid(b, sol))
             return sol
 
         return solve
