@@ -272,3 +272,8 @@ def as_vector(v: TV, size: int) -> jnp.ndarray:
     if v.tag == "scalar" and size == 1:
         return v.val.reshape(1)
     raise TypeError(f"cannot materialise {v.tag} as vector of {size}")
+
+
+#: module-generic alias: codegen_df's variant rounds its pair to the
+#: working dtype, so solver code can swap modules freely
+as_vector_arr = as_vector

@@ -95,7 +95,7 @@ class CompiledIPM:
                  delta0: float = 1e-4, pivot_floor: float = 1e-8,
                  refine: int = 0, kernel: str = "auto",
                  scale_tol: bool = False, gondzio: int = 0,
-                 hybrid_refine: bool = False):
+                 hybrid_refine: bool = False, df_residuals: bool = False):
         self.settings = settings
         self.n, self.m_ineq, self.m_eq = n, m_ineq, m_eq
         self.dtype = dtype
@@ -114,6 +114,15 @@ class CompiledIPM:
         #: refined direction reaches the f32 representation floor even on
         #: ill-conditioned systems.  No effect unless refine > 0.
         self.hybrid_refine = hybrid_refine
+        #: stage the residual/metric pipeline in two-float pairs
+        #: (models/codegen_df.py): residual rows near convergence are
+        #: pure cancellation, so working-precision evaluation noise-
+        #: floors them; pair evaluation keeps their RELATIVE error small,
+        #: giving f64-grade Newton right-hand sides and convergence
+        #: metrics from f32 TPU arithmetic.  Factorisations stay f32.
+        self.df_residuals = df_residuals
+        from . import codegen_df as cgdf_mod
+        self._cgm = cgdf_mod if df_residuals else cg
 
         self._kernel_choice = kernel
         #: number of Gondzio multiple-centrality-corrector rounds per
@@ -301,22 +310,46 @@ class CompiledIPM:
             env[var] = cg.vector(val)
         return env
 
+    def _lift(self, env: cg.Env):
+        """Promote a working-precision env for the residual pipeline."""
+        if not self.df_residuals:
+            return env
+        from . import codegen_df as cgdf
+        return cgdf.lift_env(env)
+
+    def _envm(self, data: QPData, var_vals, mu_val):
+        return self._lift(self._env(data, var_vals, mu_val))
+
     # ------------------------------------------------------------------
     # staged computations
     # ------------------------------------------------------------------
 
     def _metrics(self, env0):
-        """(residual norm, duality gap) of the full system at mu=0."""
+        """(residual norm, duality gap) of the full system at mu=0.
+
+        ``env0`` is a working-precision env, or a lifted two-float env
+        when ``df_residuals`` (then norms are compensated too)."""
+        m = self._cgm
         memo = {}
-        vals = [cg.as_vector(cg.evaluate(r, env0, memo), sz)
-                for r, sz in zip(self.full.rhs, self.var_sizes)]
         dt = self.dtype
         if sum(self.var_sizes) == 0:
             return jnp.asarray(0.0, dt), jnp.asarray(0.0, dt)
+        vals = [m.as_vector(m.evaluate(r, env0, memo), sz)
+                for r, sz in zip(self.full.rhs, self.var_sizes)]
+        comp_size = sum(self.var_sizes[i] for i in self.comp_rows)
+        if self.df_residuals:
+            from . import codegen_df as cgdf
+            residual = cgdf.norm2([v.pair for v in vals]).astype(dt)
+            if comp_size == 0:
+                gap = jnp.asarray(0.0, dt)
+            else:
+                gap = (cgdf.abs_sum([vals[i].pair
+                                     for i in self.comp_rows]) /
+                       comp_size).astype(dt)
+            return residual, gap
         r = jnp.concatenate([v for v in vals]) if vals else jnp.zeros(0, dt)
         residual = jnp.sqrt(jnp.dot(r, r))
         comp = [vals[i] for i in self.comp_rows]
-        comp_size = sum(self.var_sizes[i] for i in self.comp_rows)
         if comp_size == 0:
             gap = jnp.asarray(0.0, dt)
         else:
@@ -327,11 +360,18 @@ class CompiledIPM:
         """Duality measure alone (evaluates only the complementarity
         rows — used for mu_aff at the affine trial point, where the full
         residual is not needed)."""
+        m = self._cgm
         dt = self.dtype
         comp_size = sum(self.var_sizes[i] for i in self.comp_rows)
         if comp_size == 0:
             return jnp.asarray(0.0, dt)
         memo = {}
+        if self.df_residuals:
+            from . import codegen_df as cgdf
+            pairs = [m.as_vector(m.evaluate(self.full.rhs[i], env0, memo),
+                                 self.var_sizes[i]).pair
+                     for i in self.comp_rows]
+            return (cgdf.abs_sum(pairs) / comp_size).astype(dt)
         acc = jnp.asarray(0.0, dt)
         for i in self.comp_rows:
             v = cg.as_vector(cg.evaluate(self.full.rhs[i], env0, memo),
@@ -467,9 +507,14 @@ class CompiledIPM:
 
         With ``affine_deltas`` given, complementarity residuals get the
         exact second-order Mehrotra correction
-        ``c_i(v + d_aff) - c_i(v) - J_i d_aff`` added (corrector phase)."""
+        ``c_i(v + d_aff) - c_i(v) - J_i d_aff`` added (corrector phase).
+
+        ``env`` must match the residual pipeline's precision: a lifted
+        two-float env under ``df_residuals`` (the correction term is
+        itself pure cancellation, so it benefits the most)."""
+        m = self._cgm
         renv = dict(env)
-        renv[self.symbols.mu] = cg.scalar(jnp.asarray(mu_val, self.dtype))
+        renv[self.symbols.mu] = m.scalar(jnp.asarray(mu_val, self.dtype))
         memo = {}
 
         corr_vals = None
@@ -477,39 +522,43 @@ class CompiledIPM:
             corr_vals = {}
             aff_point = tuple(v + d for v, d in
                               zip(var_vals, affine_deltas))
-            aenv = self._env(data, aff_point, 0.0)
-            benv = self._env(data, var_vals, 0.0)
+            aenv = self._envm(data, aff_point, 0.0)
+            benv = self._envm(data, var_vals, 0.0)
             amemo, bmemo, jmemo = {}, {}, {}
             for i, (vec, definition, comp) in enumerate(self.corrector):
                 if not comp:
                     continue
-                c_shift = cg.evaluate(definition, aenv, amemo)
-                c_base = cg.evaluate(definition, benv, bmemo)
+                c_shift = m.evaluate(definition, aenv, amemo)
+                c_base = m.evaluate(definition, benv, bmemo)
                 lin = None
                 for j, dj in enumerate(affine_deltas):
                     cell = self.full.lhs[i][j]
                     if cell is E.ZERO or dj.shape[0] == 0:
                         continue
-                    term = cg.multiply_tv(cg.evaluate(cell, env, jmemo),
-                                          cg.vector(dj))
-                    lin = term if lin is None else cg.add_tv(lin, term)
-                corr = cg.add_tv(c_shift, cg.negate_tv(c_base))
+                    term = m.multiply_tv(m.evaluate(cell, env, jmemo),
+                                         m.vector(dj))
+                    lin = term if lin is None else m.add_tv(lin, term)
+                corr = m.add_tv(c_shift, m.negate_tv(c_base))
                 if lin is not None:
-                    corr = cg.add_tv(corr, cg.negate_tv(lin))
+                    corr = m.add_tv(corr, m.negate_tv(lin))
                 corr_vals[vec] = corr
 
         for (vec, definition, comp) in self.corrector:
-            val = cg.evaluate(definition, renv, memo)
+            val = m.evaluate(definition, renv, memo)
             if corr_vals is not None and vec in corr_vals:
-                val = cg.add_tv(val, corr_vals[vec])
+                val = m.add_tv(val, corr_vals[vec])
             renv[vec] = val
         return renv
 
     def _search_direction(self, solve_fn, renv):
         """Solve the augmented system and back-substitute eliminated
-        variables via the symbolic delta definitions."""
+        variables via the symbolic delta definitions.  The right-hand
+        side and back-substitutions are evaluated in the residual
+        pipeline's precision; the factorised solve stays in working
+        precision."""
+        m = self._cgm
         memo = {}
-        parts = [cg.as_vector(cg.evaluate(r, renv, memo), sz)
+        parts = [m.as_vector_arr(m.evaluate(r, renv, memo), sz)
                  for r, sz in zip(self.aug.rhs, self.aug_sizes)]
         b = (jnp.concatenate(parts) if parts
              else jnp.zeros(0, self.dtype))
@@ -523,13 +572,13 @@ class CompiledIPM:
                 if sz else jnp.zeros(0, self.dtype)
             offset += sz
             deltas[self.var_index[var]] = val
-            denv[delta_variable(var)] = cg.vector(val)
+            denv[delta_variable(var)] = m.vector(val)
         memo2 = {}
         for dvar, ddef in reversed(self.aug.delta_definitions):
             var = self.delta_to_var[dvar]
-            val = cg.as_vector(cg.evaluate(ddef, denv, memo2),
-                               self.size_of[var])
-            denv[dvar] = cg.vector(val)
+            val = m.as_vector_arr(m.evaluate(ddef, denv, memo2),
+                                  self.size_of[var])
+            denv[dvar] = m.vector(val)
             deltas[self.var_index[var]] = val
         return deltas
 
@@ -597,7 +646,7 @@ class CompiledIPM:
                 vals.append(w)
             else:
                 vals.append(init.get(v, jnp.ones(sz, dt)))
-        env0 = self._env(data, vals, 0.0)
+        env0 = self._envm(data, vals, 0.0)
         residual, gap = self._metrics(env0)
         return IPMState(vars=tuple(vals), mu=jnp.asarray(self.mu0, dt),
                         iteration=jnp.asarray(0, jnp.int32),
@@ -612,10 +661,11 @@ class CompiledIPM:
         [beta_min, beta_max] * mu are pulled back to the nearest bound by
         an extra solve with the existing factors.  The corrected
         direction is kept only if it lengthens the step."""
+        m = self._cgm
         dt = self.dtype
         alpha_t = jnp.minimum(alpha + delta_alpha, 1.0)
         trial = tuple(v + alpha_t * dv for v, dv in zip(var_vals, d))
-        tenv = self._env(data, trial, 0.0)
+        tenv = self._envm(data, trial, 0.0)
 
         # residual-vector bindings: comp rows get (p - clip(p)), others 0
         genv = dict(env)
@@ -624,11 +674,11 @@ class CompiledIPM:
         for i, (vec, definition, comp) in enumerate(self.corrector):
             sz = self.var_sizes[i]
             if comp and sz:
-                p = cg.as_vector(cg.evaluate(definition, tenv, memo), sz)
+                p = m.as_vector_arr(m.evaluate(definition, tenv, memo), sz)
                 target = jnp.clip(p, beta_min * mu_t, beta_max * mu_t)
-                genv[vec] = cg.vector(p - target)
+                genv[vec] = m.vector(p - target)
             else:
-                genv[vec] = cg.vector(jnp.zeros(sz, dt))
+                genv[vec] = m.vector(jnp.zeros(sz, dt))
         dm = self._search_direction(solve_fn, genv)
 
         d_new = tuple(dv + dmv for dv, dmv in zip(d, dm))
@@ -640,20 +690,21 @@ class CompiledIPM:
 
     def _step_impl(self, state: IPMState, data: QPData) -> IPMState:
         env = self._env(data, state.vars, state.mu)
+        envm = self._lift(env)
         gap = state.gap
 
-        # factor the augmented KKT once
+        # factor the augmented KKT once (always working precision)
         solve_fn = self._make_solve(env)
 
         # affine predictor (mu = 0)
-        renv = self._residual_env(env, 0.0)
+        renv = self._residual_env(envm, 0.0)
         d_aff = self._search_direction(solve_fn, renv)
         alpha_aff = self._max_step(env, state.vars, d_aff)
 
         # trial step -> mu_aff -> sigma
         trial = tuple(v + alpha_aff * d
                       for v, d in zip(state.vars, d_aff))
-        tenv = self._env(data, trial, 0.0)
+        tenv = self._envm(data, trial, 0.0)
         gap_aff = self._gap_only(tenv)
         dt = self.dtype
         safe_gap = jnp.where(gap > 0, gap, 1.0)
@@ -661,7 +712,7 @@ class CompiledIPM:
         mu_new = (gap * sigma).astype(dt)
 
         # corrector with recentred complementarity + affine correction
-        cenv = self._residual_env(env, mu_new, data=data,
+        cenv = self._residual_env(envm, mu_new, data=data,
                                   var_vals=state.vars, affine_deltas=d_aff)
         d_cc = self._search_direction(solve_fn, cenv)
         alpha = self._max_step(env, state.vars, d_cc)
@@ -671,14 +722,14 @@ class CompiledIPM:
         # extra solves against the SAME factorisation; accept a round
         # only if it lengthens the step.
         for _ in range(self.gondzio):
-            d_cc, alpha = self._gondzio_round(env, data, state.vars,
+            d_cc, alpha = self._gondzio_round(envm, data, state.vars,
                                               solve_fn, d_cc, alpha,
                                               mu_new)
 
         step = self.fraction_to_boundary * alpha
         new_vars = tuple(v + step * d for v, d in zip(state.vars, d_cc))
 
-        nenv = self._env(data, new_vars, 0.0)
+        nenv = self._envm(data, new_vars, 0.0)
         residual, new_gap = self._metrics(nenv)
         return IPMState(vars=new_vars, mu=mu_new,
                         iteration=state.iteration + 1,
@@ -693,14 +744,29 @@ class CompiledIPM:
             res_tol = jnp.asarray(self.tol, self.dtype)
         tol = self.tol
 
-        def cond(state):
-            done = (state.residual < res_tol) & (state.gap < tol)
-            bad = jnp.isnan(state.residual) | jnp.isinf(state.residual) | \
-                jnp.isnan(state.gap)
-            return (~done) & (~bad) & (state.iteration < self.max_iter)
+        def _bad(s):
+            return jnp.isnan(s.residual) | jnp.isinf(s.residual) | \
+                jnp.isnan(s.gap)
 
-        state = jax.lax.while_loop(cond, lambda s: self._step_impl(s, data),
-                                   state0)
+        def cond(carry):
+            state, diverged = carry
+            done = (state.residual < res_tol) & (state.gap < tol)
+            return (~done) & (~diverged) & \
+                (state.iteration < self.max_iter)
+
+        def body(carry):
+            state, _ = carry
+            new = self._step_impl(state, data)
+            bad = _bad(new)
+            # divergence rollback: a numerically failed step (e.g. an
+            # f32 factorisation overflowing once mu underflows) returns
+            # the LAST GOOD iterate instead of NaN garbage
+            keep = jax.tree_util.tree_map(
+                lambda o, n_: jnp.where(bad, o, n_), state, new)
+            return (keep, bad)
+
+        state, step_diverged = jax.lax.while_loop(
+            cond, body, (state0, jnp.asarray(False)))
         env = self._env(data, state.vars, state.mu)
         f = cg.evaluate(self.objective_expr, env).val
         x = state.vars[self.var_index[self.symbols.x]]
@@ -713,8 +779,7 @@ class CompiledIPM:
             residual=state.residual,
             gap=state.gap,
             converged=(state.residual < res_tol) & (state.gap < tol),
-            diverged=jnp.isnan(state.residual) |
-            jnp.isinf(state.residual) | jnp.isnan(state.gap),
+            diverged=step_diverged | _bad(state),
         )
 
     # ------------------------------------------------------------------

@@ -137,7 +137,8 @@ class RiccatiIPM:
     def __init__(self, horizon: int, n_states: int, n_controls: int, *,
                  state_bounds: bool = False, dtype=jnp.float64,
                  tol: float = 1e-8, max_iter: int = 100,
-                 fraction_to_boundary: float = 0.995, mu0: float = 1.0):
+                 fraction_to_boundary: float = 0.995, mu0: float = 1.0,
+                 gondzio: int = 0):
         self.T, self.ns, self.nu = horizon, n_states, n_controls
         self.state_bounds = state_bounds
         self.dtype = dtype
@@ -145,6 +146,12 @@ class RiccatiIPM:
         self.max_iter = max_iter
         self.fraction_to_boundary = fraction_to_boundary
         self.mu0 = mu0
+        #: Gondzio multiple-centrality-corrector rounds per iteration
+        #: (same scheme as CompiledIPM(gondzio=k): extra solves against
+        #: the existing Riccati factor chain, accepted only if the step
+        #: lengthens) — valuable for long horizons where each
+        #: factorisation is the dominant cost
+        self.gondzio = gondzio
         #: complementarity pairs counted in the duality measure
         self.comp_count = 2 * horizon * n_controls + (
             2 * horizon * n_states if state_bounds else 0)
@@ -316,6 +323,38 @@ class RiccatiIPM:
         return jax.tree_util.tree_map(
             lambda a: jnp.asarray(a, self.dtype), data)
 
+    def _gondzio_round(self, data, vars, factors, d, alpha, mu_target,
+                       beta_min=0.1, beta_max=10.0, delta_alpha=0.1,
+                       gamma=0.1):
+        """One Gondzio centrality-corrector round (Gondzio 1996): at the
+        enlarged trial step, complementarity products outside
+        [beta_min, beta_max]*mu are pulled to the nearest bound with an
+        extra solve against the SAME factor chain; kept only if the
+        step lengthens."""
+        dt = self.dtype
+        T, ns, nu = self.T, self.ns, self.nu
+        alpha_t = jnp.minimum(alpha + delta_alpha, 1.0)
+        trial = tuple(v + alpha_t * dv for v, dv in zip(vars, d))
+        g_t, h_t, gx_t, hx_t = self._slacks(data, trial[0], trial[1])
+        mu_t = jnp.asarray(mu_target, dt)
+
+        def pulled(p):
+            return p - jnp.clip(p, beta_min * mu_t, beta_max * mu_t)
+
+        comp = [pulled(g_t * trial[3]), pulled(h_t * trial[4])]
+        if self.state_bounds:
+            comp += [pulled(gx_t * trial[5]), pulled(hx_t * trial[6])]
+        zeros_u = jnp.zeros((T, nu), dt)
+        zeros_x = jnp.zeros((T, ns), dt)
+        dm = self._direction(data, vars, factors, zeros_u, zeros_x,
+                             zeros_x, tuple(comp))
+        d_new = tuple(dv + dmv for dv, dmv in zip(d, dm))
+        alpha_new = self._max_step(data, vars, d_new)
+        accept = alpha_new >= jnp.minimum(alpha + gamma * delta_alpha, 1.0)
+        d_out = tuple(jnp.where(accept, dn, dv)
+                      for dn, dv in zip(d_new, d))
+        return d_out, jnp.where(accept, alpha_new, alpha)
+
     def _step_impl(self, state: MPCState, data: MPCData) -> MPCState:
         dt = self.dtype
         data = self._cast(data)
@@ -361,6 +400,10 @@ class RiccatiIPM:
         d_cc = self._direction(data, vars, factors, ru, rx, rd, tuple(comp))
         alpha = self._max_step(data, vars, d_cc)
 
+        for _ in range(self.gondzio):
+            d_cc, alpha = self._gondzio_round(data, vars, factors, d_cc,
+                                              alpha, mu_new)
+
         step = self.fraction_to_boundary * alpha
         new_vars = tuple(v + step * dv for v, dv in zip(vars, d_cc))
         residual, new_gap = self._metrics(data, new_vars)
@@ -381,14 +424,27 @@ class RiccatiIPM:
         state0 = self.init_state(data, warm_start)
         tol = self.tol
 
-        def cond(state):
-            done = (state.residual < tol) & (state.gap < tol)
-            bad = jnp.isnan(state.residual) | jnp.isinf(state.residual) | \
-                jnp.isnan(state.gap)
-            return (~done) & (~bad) & (state.iteration < self.max_iter)
+        def _bad(s):
+            return jnp.isnan(s.residual) | jnp.isinf(s.residual) | \
+                jnp.isnan(s.gap)
 
-        state = jax.lax.while_loop(cond, lambda s: self._step_impl(s, data),
-                                   state0)
+        def cond(carry):
+            state, diverged = carry
+            done = (state.residual < tol) & (state.gap < tol)
+            return (~done) & (~diverged) & \
+                (state.iteration < self.max_iter)
+
+        def body(carry):
+            state, _ = carry
+            new = self._step_impl(state, data)
+            bad = _bad(new)
+            # divergence rollback: keep the last good iterate
+            keep = jax.tree_util.tree_map(
+                lambda o, n_: jnp.where(bad, o, n_), state, new)
+            return (keep, bad)
+
+        state, step_diverged = jax.lax.while_loop(
+            cond, body, (state0, jnp.asarray(False)))
         u, x = state.vars[0], state.vars[1]
         return MPCSolveResult(
             x=x, u=u,
@@ -398,8 +454,7 @@ class RiccatiIPM:
             residual=state.residual,
             gap=state.gap,
             converged=(state.residual < tol) & (state.gap < tol),
-            diverged=jnp.isnan(state.residual) |
-            jnp.isinf(state.residual) | jnp.isnan(state.gap),
+            diverged=step_diverged | _bad(state),
         )
 
     # ------------------------------------------------------------------

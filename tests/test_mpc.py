@@ -175,6 +175,16 @@ class TestRiccatiIPM:
         assert bool(warm.converged)
         assert int(warm.iterations) <= int(cold.iterations)
 
+    def test_gondzio_converges_and_matches(self):
+        T, ns, nu = 10, 3, 2
+        data = random_mpc(horizon=T, n_states=ns, n_controls=nu, seed=9)
+        plain = RiccatiIPM(T, ns, nu).solve(data)
+        gz = RiccatiIPM(T, ns, nu, gondzio=2).solve(data)
+        assert bool(plain.converged) and bool(gz.converged)
+        assert int(gz.iterations) <= int(plain.iterations)
+        np.testing.assert_allclose(np.asarray(gz.u), np.asarray(plain.u),
+                                   rtol=1e-6, atol=1e-7)
+
     def test_result_is_optimal_vs_perturbations(self):
         """Objective at the solution beats feasible perturbed controls."""
         T, ns, nu = 6, 2, 2
