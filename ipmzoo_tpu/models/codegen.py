@@ -89,7 +89,16 @@ def negate_tv(x: TV) -> TV:
 
 
 def invert_tv(x: TV) -> TV:
-    assert x.tag != "matrix", "dense-matrix inverse is never staged elementwise"
+    """Elementwise inverse for scalar/vector/diag values.
+
+    Dense-matrix inverses (the H^{-1} the normal-equations elimination
+    introduces) are never inverted elementwise: the solver pre-factors
+    and binds them into the environment (CompiledIPM._bind_matrix_inverts),
+    so evaluation short-circuits before reaching here.  Reaching this
+    assert means an unbound matrix inverse leaked into a staged
+    expression."""
+    assert x.tag != "matrix", \
+        "dense-matrix inverse must be pre-bound in the environment"
     return _unary(x, _safe_reciprocal)
 
 

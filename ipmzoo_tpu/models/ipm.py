@@ -37,7 +37,7 @@ import jax.numpy as jnp
 
 from ..formulations import (Settings, VariableNames, augmented_system,
                             build_symbols, delta_variable, newton_system,
-                            shorthand_rhs)
+                            normal_equations, shorthand_rhs)
 from ..ops.ldlt import solve_ldlt
 from ..symbolic import expr as E
 from . import codegen as cg
@@ -125,6 +125,17 @@ class CompiledIPM:
         self._cgm = cgdf_mod if df_residuals else cg
 
         self._kernel_choice = kernel
+        if kernel not in ("auto", "ldlt", "jnp", "block", "blockg", "lu",
+                          "normal"):
+            raise ValueError(
+                f"unknown kernel={kernel!r}; expected one of "
+                "('auto', 'ldlt', 'jnp', 'block', 'blockg', 'lu', 'normal')")
+        if kernel == "normal" and df_residuals:
+            raise NotImplementedError(
+                "kernel='normal' pre-binds dense-matrix inverses in working "
+                "precision; the two-float residual pipeline does not "
+                "consume them — use the augmented-system kernels with "
+                "df_residuals")
         #: number of Gondzio multiple-centrality-corrector rounds per
         #: iteration (0 = plain Mehrotra, matching the reference).  Each
         #: round reuses the factorisation to push complementarity
@@ -148,6 +159,11 @@ class CompiledIPM:
         reduced.rhs = list(sh.shorthand_rhs)
         aug = augmented_system(reduced)
         self.full, self.sh, self.aug = full, sh, aug
+        # The normal-equations reduction (one more elimination: the leading
+        # Q/x block; reference derivation SymbolicOptimization.cpp:465-478,
+        # stored by the reference Optimizer ctor at Optimizer.cpp:39-40 but
+        # never consumed numerically there — here kernel='normal' solves it)
+        self.norm = normal_equations(reduced) if kernel == "normal" else None
 
         # A symbolically zero diagonal block means the augmented system is
         # genuinely indefinite: unpivoted LDL^T is unsound there, so those
@@ -176,6 +192,21 @@ class CompiledIPM:
         self.aug_sizes = [size_of[v] for v in aug.variables]
         self.aug_dim = sum(self.aug_sizes)
         self.var_index = {v: i for i, v in enumerate(full.variables)}
+
+        # the reduction the linear solver actually consumes: the condensed
+        # normal-equations system for kernel='normal', else the augmented
+        self.red = self.norm if self.norm is not None else aug
+        self.red_sizes = [size_of[v] for v in self.red.variables]
+        self.red_dim = sum(self.red_sizes)
+        # Dense-matrix inverses introduced by eliminating the leading Q/x
+        # block (H^{-1} with H = aug.lhs[0][0]).  They appear in the
+        # condensed cells, rhs and back-substitutions; the solver evaluates
+        # each ONCE per iteration (LDL^T factor + solve against I) and
+        # binds the value into the environment so every later evaluation
+        # short-circuits — the same memoisation role the reference's
+        # Environment plays (Evaluation.cpp:106-108).
+        self._matrix_inverts = tuple(
+            self._collect_matrix_inverts()) if self.norm is not None else ()
 
         # delta symbol -> original variable
         self.delta_to_var = {delta_variable(v): v for v in full.variables}
@@ -233,6 +264,9 @@ class CompiledIPM:
         # "ldlt": dense LDL^T; unbatched calls use the jnp kernel and
         #   vmapped (batched) calls dispatch to the VMEM-resident Pallas
         #   kernels via custom_vmap.
+        # "jnp": dense LDL^T forced onto the pure-jnp blocked kernel (no
+        #   Pallas dispatch) — the portable path, and the reference
+        #   semantics the fused kernel is tested against.
         # "block": MXU-native block elimination (Cholesky + dense Schur)
         #   for 2x2 augmented structures — the fast path for large n.
         # "blockg": signed block-Cholesky over the symbolic group
@@ -240,6 +274,8 @@ class CompiledIPM:
         #   updates for ANY quasi-definite augmented system; diagonal
         #   signs are structural (+ primal groups, - dual groups,
         #   Vanderbei 1995).
+        # "lu": partial-pivoting LU (the only sound choice for genuinely
+        #   indefinite augmented systems; auto-selected for those).
         # "auto": block when the augmented system is 2x2 and the leading
         #   block is large enough for blocked Cholesky to win; blockg for
         #   other large quasi-definite structures.
@@ -259,6 +295,8 @@ class CompiledIPM:
             self._mode = "block"
         elif kernel == "blockg":
             self._mode = "blockg"
+        elif kernel == "normal":
+            self._mode = "normal"
         elif kernel == "auto" and can_block and n >= 384:
             self._mode = "block"
         elif kernel == "auto" and self.aug_dim >= 384:
@@ -278,6 +316,71 @@ class CompiledIPM:
         # jitted entry points
         self._solve_jit = jax.jit(self._solve_impl)
         self._step_jit = jax.jit(self._step_impl)
+
+    # ------------------------------------------------------------------
+    # normal-equations support
+    # ------------------------------------------------------------------
+
+    def _collect_matrix_inverts(self):
+        """All distinct Invert subexpressions over dense-matrix operands
+        in the condensed system (lhs cells, rhs, delta definitions).
+
+        Eliminating the leading Q/x block introduces H^{-1} with
+        H = aug.lhs[0][0] (a Sum containing the symmetric matrix Q);
+        elementwise inversion is unsound for those, so the solver binds a
+        factored inverse per iteration instead."""
+        K = E.Kind
+        seen, out = set(), []
+        hm_memo = {}
+
+        def has_matrix(e):
+            # memoised: the expression DAG is hash-consed with heavy
+            # sharing, so unmemoised recursion is exponential
+            hit = hm_memo.get(e)
+            if hit is not None:
+                return hit
+            r = (e.kind in (K.MATRIX, K.SYMMETRIC_MATRIX) or
+                 any(has_matrix(c) for c in e.children))
+            hm_memo[e] = r
+            return r
+
+        def walk(e):
+            if e in seen:
+                return
+            seen.add(e)
+            if E.is_invert(e) and has_matrix(e.child):
+                out.append(e)
+            for c in e.children:
+                walk(c)
+
+        for row in self.red.lhs:
+            for cell in row:
+                walk(cell)
+        for r in self.red.rhs:
+            walk(r)
+        for _, d in self.red.delta_definitions:
+            walk(d)
+        return out
+
+    def _bind_matrix_inverts(self, env: cg.Env) -> None:
+        """Evaluate each dense-matrix inverse once (LDL^T with the pivot
+        floor + solve against I) and bind it into ``env`` IN PLACE, so
+        every later evaluation of the condensed system short-circuits on
+        the env hit.  The explicit inverse turns all downstream condensed
+        algebra (A H^{-1} A^T, H^{-1} r) into plain matmuls — the
+        MXU-friendly staging of the classical normal-equations recipe."""
+        from ..ops.blocked_ldlt import ldlt_blocked
+        for ie in self._matrix_inverts:
+            if ie in env:
+                continue
+            child = cg.evaluate(ie.child, env, {})
+            if child.tag != "matrix":
+                env[ie] = cg.invert_tv(child)
+                continue
+            H = child.val
+            L, D = ldlt_blocked(H, self.pivot_floor)
+            eye = jnp.eye(H.shape[0], dtype=H.dtype)
+            env[ie] = cg.matrix(solve_ldlt(L, D, eye))
 
     # ------------------------------------------------------------------
     # environment plumbing
@@ -381,15 +484,17 @@ class CompiledIPM:
         return acc / comp_size
 
     def _assemble_blocks(self, env):
-        """Evaluate each augmented-system cell as a dense block."""
+        """Evaluate each cell of the consumed reduction (augmented system,
+        or the condensed normal equations for kernel='normal') as a dense
+        block."""
         memo = {}
         blocks = []
-        for i, vi in enumerate(self.aug.variables):
-            si = self.aug_sizes[i]
+        for i, vi in enumerate(self.red.variables):
+            si = self.red_sizes[i]
             row_blocks = []
-            for j, vj in enumerate(self.aug.variables):
-                sj = self.aug_sizes[j]
-                cell = self.aug.lhs[i][j]
+            for j, vj in enumerate(self.red.variables):
+                sj = self.red_sizes[j]
+                cell = self.red.lhs[i][j]
                 if cell is E.ZERO:
                     row_blocks.append(jnp.zeros((si, sj), self.dtype))
                 else:
@@ -487,6 +592,12 @@ class CompiledIPM:
 
             return solve
 
+        if self._mode == "normal":
+            # bind H^{-1} first (mutates env: the residual/corrector envs
+            # derive from this env by dict copy, so the binding propagates
+            # to every rhs / delta-definition evaluation this iteration)
+            self._bind_matrix_inverts(env)
+
         K = self._assemble_kkt(env)
         L, D = self._factor(K)
         resid = self._residual_fn(K)
@@ -559,7 +670,7 @@ class CompiledIPM:
         m = self._cgm
         memo = {}
         parts = [m.as_vector_arr(m.evaluate(r, renv, memo), sz)
-                 for r, sz in zip(self.aug.rhs, self.aug_sizes)]
+                 for r, sz in zip(self.red.rhs, self.red_sizes)]
         b = (jnp.concatenate(parts) if parts
              else jnp.zeros(0, self.dtype))
         sol = solve_fn(b)
@@ -567,14 +678,14 @@ class CompiledIPM:
         deltas = [None] * len(self.full.variables)
         denv = dict(renv)
         offset = 0
-        for var, sz in zip(self.aug.variables, self.aug_sizes):
+        for var, sz in zip(self.red.variables, self.red_sizes):
             val = jax.lax.dynamic_slice_in_dim(sol, offset, sz) \
                 if sz else jnp.zeros(0, self.dtype)
             offset += sz
             deltas[self.var_index[var]] = val
             denv[delta_variable(var)] = m.vector(val)
         memo2 = {}
-        for dvar, ddef in reversed(self.aug.delta_definitions):
+        for dvar, ddef in reversed(self.red.delta_definitions):
             var = self.delta_to_var[dvar]
             val = m.as_vector_arr(m.evaluate(ddef, denv, memo2),
                                   self.size_of[var])

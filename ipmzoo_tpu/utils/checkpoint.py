@@ -15,12 +15,15 @@ import numpy as np
 
 
 def save_state(path: str, state, metadata: dict | None = None) -> None:
-    """Save an IPMState/SchurState (or any pytree of arrays) to .npz."""
+    """Save an IPMState/SchurState (or any pytree of arrays) to .npz.
+
+    Only the leaves are stored; reconstruction requires a structurally
+    identical ``like`` tree at load time (see :func:`load_state`) — the
+    treedef itself has no stable, pickle-free serialization."""
     import jax
     leaves, treedef = jax.tree_util.tree_flatten(state)
     arrays = {f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)}
-    arrays["__treedef__"] = np.frombuffer(
-        str(treedef).encode(), dtype=np.uint8)
+    arrays["__num_leaves__"] = np.asarray(len(leaves))
     if metadata:
         arrays["__metadata__"] = np.frombuffer(
             json.dumps(metadata).encode(), dtype=np.uint8)
@@ -36,6 +39,11 @@ def load_state(path: str, like):
     import jax.numpy as jnp
     with np.load(path, allow_pickle=False) as data:
         leaves_like, treedef = jax.tree_util.tree_flatten(like)
+        if "__num_leaves__" in data and \
+                int(data["__num_leaves__"]) != len(leaves_like):
+            raise ValueError(
+                f"checkpoint has {int(data['__num_leaves__'])} leaves but "
+                f"'like' tree has {len(leaves_like)}: structure mismatch")
         leaves = [jnp.asarray(data[f"leaf_{i}"])
                   for i in range(len(leaves_like))]
     return jax.tree_util.tree_unflatten(treedef, leaves)

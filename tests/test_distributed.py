@@ -41,19 +41,38 @@ _WORKER = textwrap.dedent("""
 """)
 
 
-@pytest.mark.timeout(300)
+def _free_port() -> str:
+    """Ephemeral coordinator port: a fixed port collides when test runs
+    overlap (parallel CI, a previous hung run)."""
+    import socket
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return str(s.getsockname()[1])
+
+
 def test_two_process_psum(tmp_path):
     worker = tmp_path / "worker.py"
     worker.write_text(_WORKER)
     env = dict(os.environ, PYTHONPATH=os.path.dirname(
         os.path.dirname(os.path.abspath(__file__))))
     env.pop("XLA_FLAGS", None)  # no virtual device splitting here
-    port = "9923"
+    port = _free_port()
     procs = [subprocess.Popen([sys.executable, str(worker), str(i), port],
                               env=env, stdout=subprocess.PIPE,
                               stderr=subprocess.STDOUT, text=True)
              for i in range(2)]
-    outs = [p.communicate(timeout=280)[0] for p in procs]
+    outs = []
+    try:
+        # a hung coordinator must fail THIS test, not stall the suite:
+        # enforce the deadline here (pytest-timeout is not installed)
+        for p in procs:
+            outs.append(p.communicate(timeout=240)[0])
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.communicate()
+        pytest.fail("distributed workers timed out after 240s")
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-2000:]}"
         assert f"OK {i} 28.0" in out
