@@ -12,23 +12,36 @@ this machine's host CPU (measured with a driver around the reference's
 Optimizer, stdout suppressed; see tests/golden/README for provenance).
 The reference solves QPs one at a time; its batch-of-10k throughput is
 the same 662 it/s.
+
+TIMING METHODOLOGY (important): on the tunnelled TPU backend used here,
+``jax.block_until_ready`` acknowledges *dispatch*, not completion, and a
+single device->host transfer costs ~25 ms of tunnel latency.  Naive
+per-call timing is therefore wrong in both directions — round-1 numbers
+recorded with it were inflated ~3x (and the fused engine's round-1
+"0.134 ms/batch" was pure dispatch time).  Every number here is
+two-point slope-timed (see ipmzoo_tpu/utils/timing.py): enqueue k
+repetitions + ONE forced host transfer for two values of k; the slope
+cancels dispatch and sync constants.
+
+The default engine measures FULL SOLVES (init -> converged, >=99% of
+instances must converge, counted per-instance) via the compaction
+schedule in CompiledIPM.solve_batch_compact, so a throughput regression
+that broke convergence would fail the benchmark rather than score it.
 """
 
 import json
 import os
 import sys
-import time
 
 import numpy as np
 
 REFERENCE_ITERS_PER_SEC = 662.0   # reference C++ on this host, n=16 m=8
 
-# default batch is tile-aligned (multiple of 512) so the fused engine is
-# eligible; see models/fused.py
 BATCH = int(os.environ.get("BENCH_BATCH", 10240))
 N = int(os.environ.get("BENCH_N", 16))
 M_INEQ = int(os.environ.get("BENCH_M", 8))
 STEPS = int(os.environ.get("BENCH_STEPS", 10))
+TOL = float(os.environ.get("BENCH_TOL", 1e-5))
 
 
 def make_batch(batch, n, m, dtype):
@@ -49,58 +62,64 @@ def make_batch(batch, n, m, dtype):
         u_x=jnp.full((batch, n), 5.0, dtype))
 
 
-def bench_fused(data, backend):
-    """Full solves inside the fused whole-solve Pallas kernel."""
-    import jax
-    import jax.numpy as jnp
-    from ipmzoo_tpu.formulations import Settings
-    from ipmzoo_tpu.models.fused import FusedBatchedIPM
-
-    import statistics
-    fused = FusedBatchedIPM(Settings(), n=N, m_ineq=M_INEQ,
-                            dtype=jnp.float32, tol=1e-5, max_iter=30)
-    solve = jax.jit(fused.solve_fused)
-    out = solve(data)
-    jax.block_until_ready(out["x"])
-    conv = float(jnp.mean(out["converged"].astype(jnp.float32)))
-    if conv < 0.99:
-        raise RuntimeError(f"fused solver convergence too low: {conv}")
-    times = []
-    for _ in range(20):
-        t0 = time.perf_counter()
-        out = solve(data)
-        jax.block_until_ready(out["x"])
-        times.append(time.perf_counter() - t0)
-    iters = float(jnp.mean(out["iterations"]))
-    its_per_sec = BATCH * iters / statistics.median(times)
-    label = (f"IPM iterations/s, {BATCH} batched QPs fully solved in one "
-             f"fused Pallas kernel (n={N}, m={M_INEQ}, {backend}, "
-             f"{conv * 100:.2f}% converged)")
-    return label, its_per_sec
-
-
-def bench_steps(data, backend):
-    """Vmapped-step path (XLA), fallback when Pallas is unavailable."""
-    import jax
+def _solver(dtype=None, **kw):
     import jax.numpy as jnp
     from ipmzoo_tpu.formulations import Settings
     from ipmzoo_tpu.models import CompiledIPM
+    return CompiledIPM(Settings(), n=N, m_ineq=M_INEQ,
+                       dtype=dtype or jnp.float32, tol=TOL, **kw)
 
-    solver = CompiledIPM(Settings(), n=N, m_ineq=M_INEQ, dtype=jnp.float32,
-                         tol=1e-6)
-    init = jax.jit(jax.vmap(solver.init_state))
-    step = jax.jit(jax.vmap(solver._step_impl))
-    state = init(data)
-    state = step(state, data)
-    jax.block_until_ready(state.vars)
-    t0 = time.perf_counter()
-    for _ in range(STEPS):
-        state = step(state, data)
-    jax.block_until_ready(state.vars)
-    t1 = time.perf_counter()
+
+def bench_solve(data, backend):
+    """FULL batched solves (compaction-scheduled), convergence-checked.
+
+    Value = sum of per-instance iterations actually spent / wall time
+    per whole-batch solve (slope-timed), i.e. useful iterations/s."""
+    import jax.numpy as jnp
+    from ipmzoo_tpu.utils.timing import measure_call
+
+    solver = _solver()
+    res = solver.solve_batch_compact(data)
+    conv = float(jnp.mean(res.converged.astype(jnp.float32)))
+    if conv < 0.99:
+        raise RuntimeError(f"solve convergence too low: {conv}")
+    iters = float(jnp.sum(res.iterations.astype(jnp.float32)))
+    t = measure_call(solver.solve_batch_compact, data)
+    label = (f"IPM iterations/s, {BATCH} batched QPs FULLY SOLVED to "
+             f"tol={TOL:g} ({conv * 100:.2f}% converged, compacted "
+             f"batch, n={N}, m={M_INEQ}, {backend})")
+    return label, iters / t
+
+
+def bench_steps(data, backend):
+    """Raw vmapped-step iteration throughput (hardware it/s).
+
+    Convergence-gated: the same solver must first FULLY SOLVE the batch
+    (>=99%) so a fast-but-wrong step cannot score."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from ipmzoo_tpu.utils.timing import measure_chain
+
+    solver = _solver()
+    res = solver.solve_batch_compact(data)
+    conv = float(jnp.mean(res.converged.astype(jnp.float32)))
+    if conv < 0.99:
+        raise RuntimeError(f"step-path convergence too low: {conv}")
+
+    stepv = jax.vmap(solver._step_impl)
+    K = 10
+
+    @jax.jit
+    def k_steps(state):
+        return lax.fori_loop(0, K, lambda i, s: stepv(s, data), state)
+
+    state = jax.jit(jax.vmap(solver.init_state))(data)
+    t = measure_chain(k_steps, state, reps=(3, 9))
     label = (f"IPM iterations/s, {BATCH} batched QPs, vmapped step "
-             f"(n={N}, m={M_INEQ}, {backend})")
-    return label, BATCH * STEPS / (t1 - t0)
+             f"(convergence-gated at {conv * 100:.2f}%, n={N}, "
+             f"m={M_INEQ}, {backend})")
+    return label, BATCH * K / t
 
 
 def bench_sharded(data, backend):
@@ -108,42 +127,59 @@ def bench_sharded(data, backend):
 
     On a single chip this equals bench_steps; on a pod slice the batch
     shards over the mesh with no hot-path communication, so iterations/s
-    scale with device count (modulo load imbalance). Reports aggregate
-    throughput plus per-device efficiency vs a single-device run."""
+    scale with device count (modulo load imbalance)."""
     import jax
-    import jax.numpy as jnp
-    from ipmzoo_tpu.formulations import Settings
-    from ipmzoo_tpu.models import CompiledIPM
+    from jax import lax
     from ipmzoo_tpu.parallel.mesh import batch_sharding, make_mesh
+    from ipmzoo_tpu.utils.timing import measure_chain
 
     n_dev = len(jax.devices())
     mesh = make_mesh()
-    solver = CompiledIPM(Settings(), n=N, m_ineq=M_INEQ, dtype=jnp.float32,
-                         tol=1e-6)
+    solver = _solver()
     data = jax.device_put(data, batch_sharding(mesh))
-    init = jax.jit(jax.vmap(solver.init_state))
-    step = jax.jit(jax.vmap(solver._step_impl))
-    state = init(data)
-    state = step(state, data)
-    jax.block_until_ready(state.vars)
-    t0 = time.perf_counter()
-    for _ in range(STEPS):
-        state = step(state, data)
-    jax.block_until_ready(state.vars)
-    t1 = time.perf_counter()
+    stepv = jax.vmap(solver._step_impl)
+    K = 10
+
+    @jax.jit
+    def k_steps(state):
+        return lax.fori_loop(0, K, lambda i, s: stepv(s, data), state)
+
+    state = jax.jit(jax.vmap(solver.init_state))(data)
+    t = measure_chain(k_steps, state, reps=(3, 9))
     label = (f"IPM iterations/s, {BATCH} batched QPs, dp-sharded over "
              f"{n_dev} device(s) (n={N}, m={M_INEQ}, {backend})")
-    return label, BATCH * STEPS / (t1 - t0)
+    return label, BATCH * K / t
+
+
+def bench_fused(data, backend):
+    """Full solves inside the fused whole-solve Pallas kernel."""
+    import jax
+    import jax.numpy as jnp
+    from ipmzoo_tpu.formulations import Settings
+    from ipmzoo_tpu.models.fused import FusedBatchedIPM
+    from ipmzoo_tpu.utils.timing import measure_call
+
+    fused = FusedBatchedIPM(Settings(), n=N, m_ineq=M_INEQ,
+                            dtype=jnp.float32, tol=TOL, max_iter=30)
+    solve = jax.jit(fused.solve_fused)
+    out = solve(data)
+    conv = float(jnp.mean(out["converged"].astype(jnp.float32)))
+    if conv < 0.99:
+        raise RuntimeError(f"fused solver convergence too low: {conv}")
+    iters = float(jnp.sum(out["iterations"]))
+    t = measure_call(solve, data)
+    label = (f"IPM iterations/s, {BATCH} batched QPs fully solved in one "
+             f"fused Pallas kernel (n={N}, m={M_INEQ}, {backend}, "
+             f"{conv * 100:.2f}% converged)")
+    return label, iters / t
 
 
 def bench_mpc(backend):
     """Structured MPC: batched Riccati IPM solves (block-tridiagonal KKT,
     O(T) per iteration vs the condensed dense path's O(T^3))."""
-    import statistics
-
-    import jax
     import jax.numpy as jnp
     from ipmzoo_tpu.models.mpc import RiccatiIPM, random_mpc
+    from ipmzoo_tpu.utils.timing import measure_call
 
     T = int(os.environ.get("BENCH_MPC_T", 32))
     ns = int(os.environ.get("BENCH_MPC_NS", 8))
@@ -154,22 +190,15 @@ def bench_mpc(backend):
     solver = RiccatiIPM(T, ns, nu, dtype=jnp.float32, tol=1e-5,
                         max_iter=40)
     res = solver.solve_batch(data)
-    jax.block_until_ready(res.u)
     conv = float(jnp.mean(res.converged.astype(jnp.float32)))
     if conv < 0.95:
         raise RuntimeError(f"mpc convergence too low: {conv}")
-    times = []
-    for _ in range(10):
-        t0 = time.perf_counter()
-        res = solver.solve_batch(data)
-        jax.block_until_ready(res.u)
-        times.append(time.perf_counter() - t0)
-    iters = float(jnp.mean(res.iterations))
-    its_per_sec = batch * iters / statistics.median(times)
+    iters = float(jnp.sum(res.iterations.astype(jnp.float32)))
+    t = measure_call(solver.solve_batch, data)
     label = (f"IPM iterations/s, {batch} structured MPC QPs fully solved "
              f"(Riccati, T={T}, ns={ns}, nu={nu}, {backend}, "
              f"{conv * 100:.1f}% converged)")
-    return label, its_per_sec
+    return label, iters / t
 
 
 def bench_kkt(data, backend):
@@ -179,6 +208,7 @@ def bench_kkt(data, backend):
     import jax.numpy as jnp
     from ipmzoo_tpu.ops.pallas_ldlt import (batched_ldlt_pallas,
                                             batched_solve_ldlt_pallas)
+    from ipmzoo_tpu.utils.timing import measure_call
     rng = np.random.default_rng(0)
     B, n1, n2 = BATCH, N + M_INEQ, M_INEQ   # augmented-ish sizing
     n = n1 + n2
@@ -187,21 +217,24 @@ def bench_kkt(data, backend):
                     np.eye(n, dtype=np.float32))
     b = jnp.asarray(rng.normal(size=(B, n)), jnp.float32)
 
-    @jax.jit
-    def factor_solve(A, b):
-        L, D = batched_ldlt_pallas(A)
-        return batched_solve_ldlt_pallas(L, D, b)
+    # chain K factor+solves inside one jit: per-dispatch tunnel overhead
+    # (~0.13 ms) exceeds the kernel time, so external repetition would
+    # measure dispatch.  The solution feeds back as the next rhs AND
+    # perturbs A at 1e-30 relative so XLA cannot hoist the
+    # loop-invariant factorisation out of the loop.
+    K = 20
 
-    out = factor_solve(A, b)
-    jax.block_until_ready(out)
-    reps = 10
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = factor_solve(A, b)
-    jax.block_until_ready(out)
-    t1 = time.perf_counter()
+    @jax.jit
+    def factor_solve_chain(A, b):
+        def body(i, b):
+            Ai = A * (1.0 + 1e-30 * b[0, 0])
+            L, D = batched_ldlt_pallas(Ai)
+            return batched_solve_ldlt_pallas(L, D, b)
+        return jax.lax.fori_loop(0, K, body, b)
+
+    t = measure_call(factor_solve_chain, A, b) / K
     flops = B * (n ** 3 / 3 + 2 * n * n) * 2
-    gflops = flops * reps / (t1 - t0) / 1e9
+    gflops = flops / t / 1e9
     label = (f"batched KKT LDL^T factor+solve, {B} systems of dim {n} "
              f"({backend}, Pallas)")
     return label, gflops, "GFLOP/s"
@@ -220,26 +253,25 @@ def main(force_cpu: bool = False):
 
     backend = jax.default_backend()
     data = make_batch(BATCH, N, M_INEQ, jnp.float32)
-    mode = os.environ.get("BENCH_MODE", "steps")
+    mode = os.environ.get("BENCH_MODE", "solve")
     unit = "iterations/s"
     baseline = REFERENCE_ITERS_PER_SEC
-    try:
-        if mode == "fused" and backend == "tpu":
-            label, value = bench_fused(data, backend)
-        elif mode == "sharded":
-            label, value = bench_sharded(data, backend)
-        elif mode == "mpc":
-            label, value = bench_mpc(backend)
-        elif mode == "kkt":
-            label, value, unit = bench_kkt(data, backend)
-            # reference LDL^T factor+solve measured at 2.88 GFLOP/s
-            # single-core on this host (n=48 dense, its LinearSolvers
-            # driven by a timing harness)
-            baseline = 2.88
-        else:
-            label, value = bench_steps(data, backend)
-    except Exception:
+    if mode == "fused" and backend == "tpu":
+        label, value = bench_fused(data, backend)
+    elif mode == "sharded":
+        label, value = bench_sharded(data, backend)
+    elif mode == "mpc":
+        label, value = bench_mpc(backend)
+    elif mode == "kkt":
+        label, value, unit = bench_kkt(data, backend)
+        # reference LDL^T factor+solve measured at 2.88 GFLOP/s
+        # single-core on this host (n=48 dense, its LinearSolvers
+        # driven by a timing harness)
+        baseline = 2.88
+    elif mode == "steps":
         label, value = bench_steps(data, backend)
+    else:
+        label, value = bench_solve(data, backend)
 
     print(json.dumps({
         "metric": label,
@@ -313,22 +345,21 @@ if __name__ == "__main__":
         sys.stderr.write(f"bench: BENCH_MODE={explicit} failed; "
                          "falling back\n")
 
-    # NOTE: the fused whole-solve engine (BENCH_MODE=fused) measured
-    # 0.134 ms median per aligned 10240-QP batch on a healthy v5e (~7x
-    # the step path, ~811,000x the reference), but in THIS tunnelled
-    # environment it intermittently hangs the device mid-kernel — and a
-    # wedged tunnel stays unresponsive for tens of minutes, which would
-    # poison the rest of the benchmark.  It is therefore opt-in only;
-    # the default measures the robust vmapped-step engine.
     device_ok = _probe_accelerator()
     if device_ok:
-        rec = _run_engine("steps", timeout_s=420)
+        # default: FULL convergence-checked solves; fall back to the raw
+        # step engine only if the solve engine fails outright
+        for mode in ("solve", "steps"):
+            rec = _run_engine(mode, timeout_s=540)
+            if rec is not None:
+                print(json.dumps(rec))
+                sys.exit(0)
+            sys.stderr.write(f"bench: engine {mode} failed; falling back\n")
+
+    sys.stderr.write("bench: accelerator unavailable; reporting CPU\n")
+    for mode in ("solve", "steps"):
+        rec = _run_engine(mode, timeout_s=540, force_cpu=True)
         if rec is not None:
             print(json.dumps(rec))
             sys.exit(0)
-
-    sys.stderr.write("bench: accelerator unavailable; reporting CPU\n")
-    rec = _run_engine("steps", timeout_s=540, force_cpu=True)
-    if rec is None:
-        raise SystemExit("bench: even the CPU fallback failed")
-    print(json.dumps(rec))
+    raise SystemExit("bench: even the CPU fallback failed")

@@ -123,14 +123,17 @@ class FusedBatchedIPM(CompiledIPM):
     small QPs.  API: ``solve_fused(batched QPData) -> SolveResult``-like
     dict of arrays.
 
-    Measured (v5e, n=16, m=8, 10240 QPs, bt=512): the fused kernel solves
-    the full batch in 0.134 ms median (p90 0.166 ms; fresh process,
-    per-call blocked) — ~7x faster than the vmapped-step XLA path, which
-    re-streams state through HBM every iteration.  VMEM headroom is
-    critical: the factorisation runs IN PLACE in a single scratch buffer
-    precisely because an extra (N, N, bt) buffer pushes the working set
-    into VMEM pressure, where the same kernel degrades ~100x (observed
-    before the in-place rewrite, and again at bt=1024).
+    Measured (v5e, n=16, m=8, 10240 QPs, bt=512, slope-timed — see
+    utils/timing.py; the round-1 claim of "0.134 ms/batch" was dispatch
+    latency recorded by a non-blocking block_until_ready, not
+    execution): the fused kernel currently solves the full batch in
+    ~54 ms, ~10x SLOWER per iteration than the vmapped-step XLA path.
+    The kernel is instruction-issue-bound (ops on (aug_dim, bt) slices
+    are a handful of vregs each) with ~50x headroom to VPU
+    speed-of-light; its architectural advantage (zero HBM traffic
+    between iterations) only pays once the issue bound is broken.
+    The factorisation runs IN PLACE in a single scratch buffer to keep
+    VMEM headroom for larger batch tiles.
 
     CAUTION: use batch sizes that are a multiple of ``bt``.  Aligned
     batches ran ~100 calls cleanly on v5e; the padded-batch configuration

@@ -95,6 +95,7 @@ class CompiledIPM:
                  delta0: float = 1e-4, pivot_floor: float = 1e-8,
                  refine: int = 0, kernel: str = "auto",
                  scale_tol: bool = False, gondzio: int = 0,
+                 mu_floor: float | str = "auto",
                  hybrid_refine: bool = False, df_residuals: bool = False):
         self.settings = settings
         self.n, self.m_ineq, self.m_eq = n, m_ineq, m_eq
@@ -142,6 +143,17 @@ class CompiledIPM:
         #: products toward the central path and is accepted only if it
         #: lengthens the step.
         self.gondzio = gondzio
+        #: lower bound on the centering parameter mu, tied to the working
+        #: dtype.  Mehrotra's sigma=(mu_aff/mu)^3 can drive mu to (or
+        #: below) the dtype's resolution in one step; in f32 the barrier
+        #: diagonals ~lambda/s ~ lambda^2/mu then overflow inside the
+        #: factorisation (products reach ~1/mu^2) and the step NaNs out,
+        #: tripping the divergence rollback.  "auto" = eps(dtype)^2 * mu0
+        #: (f32: ~1.4e-14, f64: ~4.9e-32): far below any realistic gap
+        #: tolerance, but high enough that 1/mu^2 stays finite.
+        if mu_floor == "auto":
+            mu_floor = float(jnp.finfo(dtype).eps) ** 2 * mu0
+        self.mu_floor = float(mu_floor)
         #: scale the residual test by (1 + initial residual norm) — the
         #: standard relative criterion for large problems, where an
         #: absolute norm test is dominated by dtype precision floors.
@@ -799,7 +811,8 @@ class CompiledIPM:
                       for dn, dv in zip(d_new, d))
         return d_out, jnp.where(accept, alpha_new, alpha)
 
-    def _step_impl(self, state: IPMState, data: QPData) -> IPMState:
+    def _step_impl(self, state: IPMState, data: QPData,
+                   gondzio: Optional[int] = None) -> IPMState:
         env = self._env(data, state.vars, state.mu)
         envm = self._lift(env)
         gap = state.gap
@@ -820,7 +833,8 @@ class CompiledIPM:
         dt = self.dtype
         safe_gap = jnp.where(gap > 0, gap, 1.0)
         sigma = jnp.where(gap > 0, (gap_aff / safe_gap) ** 3, 0.0)
-        mu_new = (gap * sigma).astype(dt)
+        mu_new = jnp.maximum(gap * sigma,
+                             jnp.asarray(self.mu_floor, dt)).astype(dt)
 
         # corrector with recentred complementarity + affine correction
         cenv = self._residual_env(envm, mu_new, data=data,
@@ -832,7 +846,8 @@ class CompiledIPM:
         # complementarity products into [beta_min, beta_max] * mu with
         # extra solves against the SAME factorisation; accept a round
         # only if it lengthens the step.
-        for _ in range(self.gondzio):
+        n_gondzio = self.gondzio if gondzio is None else gondzio
+        for _ in range(n_gondzio):
             d_cc, alpha = self._gondzio_round(envm, data, state.vars,
                                               solve_fn, d_cc, alpha,
                                               mu_new)
@@ -918,3 +933,160 @@ class CompiledIPM:
         if not hasattr(self, "_solve_batch_jit"):
             self._solve_batch_jit = jax.jit(jax.vmap(self._solve_impl))
         return self._solve_batch_jit(data)
+
+    # ------------------------------------------------------------------
+    # compacted batch solve (straggler-free full solves)
+    # ------------------------------------------------------------------
+
+    def _masked_steps(self, state, data, diverged, res_tol, k: int,
+                      gondzio: Optional[int] = None):
+        """Run ``k`` vmapped iterations; converged/diverged instances are
+        frozen (their state re-enters unchanged) and a step that goes
+        NaN/inf rolls back to the last good iterate, as in
+        :meth:`_solve_impl`."""
+        stepv = jax.vmap(
+            functools.partial(self._step_impl, gondzio=gondzio))
+
+        def mask_like(m, leaf):
+            return m.reshape(m.shape + (1,) * (leaf.ndim - 1))
+
+        def body(_, carry):
+            st, div = carry
+            done = (st.residual < res_tol) & (st.gap < self.tol)
+            frozen = done | div
+            new = stepv(st, data)
+            bad = (jnp.isnan(new.residual) | jnp.isinf(new.residual) |
+                   jnp.isnan(new.gap))
+            keep = frozen | bad
+            merged = jax.tree_util.tree_map(
+                lambda o, n_: jnp.where(mask_like(keep, n_), o, n_),
+                st, new)
+            return merged, div | (bad & ~frozen)
+
+        return jax.lax.fori_loop(0, k, body, (state, diverged))
+
+    def _compact_impl(self, data: QPData, schedule, tail_gondzio,
+                      tail_restart):
+        """Whole-batch solve with device-side compaction between stages.
+
+        A vmapped ``while_loop`` makes every instance pay for the
+        slowest one: a single straggler keeps all ``B`` lanes stepping
+        (frozen lanes still execute) to ``max_iter``.  Instead, run a
+        fixed number of masked steps on the full batch, then argsort the
+        done-mask (actives first), gather the leading ``B // divisor``
+        slots — a static shape — and continue on that sub-batch only,
+        scattering results back.  Typical workloads converge >99% of
+        instances in the first stage, so the tail costs ~1/divisor of a
+        full-batch step.  Instances that exceed a stage's capacity stay
+        where they are and simply report unconverged — no wrong answers,
+        and the convergence rate surfaces the event.
+
+        Tail stages RESTART still-active instances from the initial
+        iterate and run with ``tail_gondzio`` Gondzio centrality-
+        corrector rounds: plain Mehrotra CYCLES on a small fraction of
+        instances (observed: residual oscillation on a well-conditioned
+        box QP, in f64 too — an algorithmic failure mode, not a
+        precision one).  The cycle is an attractor — switching on
+        Gondzio mid-cycle stays trapped — but Gondzio from a cold start
+        converges in ~11 iterations on the same instance, so the tail
+        re-initialises.  Cumulative per-instance iteration counts are
+        preserved for honest throughput accounting.  Running Gondzio
+        only on the compacted tail keeps the full-batch stage at
+        plain-Mehrotra cost."""
+        B = data.Q.shape[0]
+        state = jax.vmap(self.init_state)(data)
+        dt = self.dtype
+        if self.scale_tol:
+            res_tol = self.tol * (1.0 + state.residual)
+        else:
+            res_tol = jnp.full((B,), self.tol, dt)
+        diverged = jnp.zeros((B,), bool)
+
+        (k0, div0), *rest = schedule
+        assert div0 == 1, "first stage must cover the full batch"
+        state, diverged = self._masked_steps(state, data, diverged,
+                                             res_tol, k0)
+
+        for (k, divisor) in rest:
+            cap = max(B // divisor, 1)
+            done = (state.residual < res_tol) & (state.gap < self.tol)
+            frozen = done | diverged
+            take = jnp.argsort(frozen)[:cap]     # actives first
+            sub = jax.tree_util.tree_map(lambda a: a[take],
+                                         (state, data, diverged, res_tol))
+            s_state, s_data, s_div, s_tol = sub
+            # restart unconverged instances (active OR diverged — the
+            # latter get a second chance under Gondzio) from the initial
+            # iterate (a Mehrotra cycle is an attractor; see docstring),
+            # keeping their cumulative iteration count; converged slots
+            # gathered as padding keep their state
+            if tail_restart:
+                s_done = ((s_state.residual < s_tol) &
+                          (s_state.gap < self.tol))
+                fresh = jax.vmap(self.init_state)(s_data)
+                fresh = IPMState(vars=fresh.vars, mu=fresh.mu,
+                                 iteration=s_state.iteration,
+                                 residual=fresh.residual, gap=fresh.gap)
+                s_state = jax.tree_util.tree_map(
+                    lambda o, n_: jnp.where(
+                        s_done.reshape(s_done.shape +
+                                       (1,) * (n_.ndim - 1)), o, n_),
+                    s_state, fresh)
+                s_div = jnp.where(s_done, s_div, False)
+            s_state, s_div = self._masked_steps(s_state, s_data, s_div,
+                                                s_tol, k,
+                                                gondzio=tail_gondzio)
+            state = jax.tree_util.tree_map(
+                lambda f, s: f.at[take].set(s), state, s_state)
+            diverged = diverged.at[take].set(s_div)
+
+        def finish(st, d, rtol, div):
+            env = self._env(d, st.vars, st.mu)
+            f = cg.evaluate(self.objective_expr, env).val
+            return SolveResult(
+                x=st.vars[self.var_index[self.symbols.x]],
+                variables={v.name: val for v, val in
+                           zip(self.full.variables, st.vars)},
+                objective=f,
+                iterations=st.iteration,
+                residual=st.residual,
+                gap=st.gap,
+                converged=(st.residual < rtol) & (st.gap < self.tol),
+                diverged=div)
+
+        return jax.vmap(finish)(state, data, res_tol, diverged)
+
+    def solve_batch_compact(self, data: QPData, schedule=None,
+                            tail_gondzio: int = 2,
+                            tail_restart: bool = True) -> SolveResult:
+        """Straggler-free batched solve (see :meth:`_compact_impl`).
+
+        ``schedule``: list of ``(steps, batch_divisor)`` stages; the
+        first divisor must be 1.  The default spends 12 iterations on
+        the full batch, 12 more on the slowest eighth, and the remaining
+        iteration budget on the slowest 1/64th.  ``tail_gondzio``:
+        Gondzio corrector rounds for the tail stages (anti-cycling)."""
+        B = data.Q.shape[0]
+        if schedule is None:
+            if B < 64:
+                schedule = [(self.max_iter, 1)]
+            else:
+                k0 = min(self.max_iter, 12)
+                k1 = min(max(self.max_iter - k0, 0), 12)
+                k2 = max(self.max_iter - k0 - k1, 0)
+                schedule = [(k0, 1)]
+                if k1:
+                    schedule.append((k1, 8))
+                if k2:
+                    schedule.append((k2, 64))
+        key = (B, tuple(schedule), tail_gondzio, tail_restart)
+        cache = getattr(self, "_compact_cache", None)
+        if cache is None:
+            cache = self._compact_cache = {}
+        if key not in cache:
+            cache[key] = jax.jit(
+                functools.partial(self._compact_impl,
+                                  schedule=tuple(schedule),
+                                  tail_gondzio=tail_gondzio,
+                                  tail_restart=tail_restart))
+        return cache[key](data)
