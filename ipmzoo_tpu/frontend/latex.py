@@ -71,11 +71,13 @@ def render_newton_system(ns, names: VariableNames = VariableNames(),
 
     variables = " \\\\\n ".join("\\Delta " + v.to_string(True)
                                 for v in ns.variables)
+    variables += "\n" if ns.variables else ""
 
     defs = []
     for dvar, ddef in reversed(ns.delta_definitions):
         defs.append(f"{dvar.to_string(True)} &= {ddef.to_string(True)}")
     delta_definitions = " \\\\\n ".join(defs)
+    delta_definitions += "\n" if defs else ""
 
     return NewtonSystemLatex(lhs, rhs, rhs_short, variables,
                              delta_definitions)
@@ -84,18 +86,37 @@ def render_newton_system(ns, names: VariableNames = VariableNames(),
 def render_newton_systems(settings: Settings,
                           names: VariableNames = VariableNames()
                           ) -> NewtonSystemsLatex:
+    """Render full/augmented/normal systems the way the reference web
+    bindings do (/root/reference/src/wasm_bindings.cpp:214-249): the full
+    system's rhs is swapped for its shorthand (-r_{var} symbols) *before*
+    the reductions, so the displayed reduced rhs and delta definitions are
+    expressed in terms of the r vectors rather than raw residuals."""
     full = newton_system(settings, names)
-    aug = augmented_system(full)
-    normal = normal_equations(full)
-    return NewtonSystemsLatex(
-        full=render_newton_system(full, names),
-        augmented=render_newton_system(aug, names),
-        normal=render_newton_system(normal, names),
-    )
+    full_tex = render_newton_system(full, names)
+
+    sh = shorthand_rhs(full)
+    full_short = full.copy()
+    full_short.rhs = list(sh.shorthand_rhs)
+
+    aug = augmented_system(full_short)
+    aug_tex = render_newton_system(aug, names)
+    normal = normal_equations(full_short)
+    normal_tex = render_newton_system(normal, names)
+    if len(aug.variables) == len(normal.variables):
+        # reference quirk (wasm_bindings.cpp:239-241): when no further
+        # reduction happened, the web page shows only the normal system.
+        aug_tex.variables = ""
+    return NewtonSystemsLatex(full=full_tex, augmented=aug_tex,
+                              normal=normal_tex)
 
 
 def _add_newlines(s: str, term: str) -> str:
-    """Insert an aligned line break before every 4th occurrence of term."""
+    """Insert an aligned line break before occurrences 1, 4, 7, ... of term.
+
+    Matches the reference's heuristic exactly (wasm_bindings.cpp:107-118):
+    after inserting, its scan re-finds the occurrence it just broke at, so
+    the effective cadence is every third occurrence, starting at the first.
+    """
     out = []
     pos = 0
     count = 0
@@ -105,7 +126,7 @@ def _add_newlines(s: str, term: str) -> str:
             out.append(s[pos:])
             break
         count += 1
-        if count % 4 == 1 and i > 0:
+        if count % 3 == 1 and i > 0:
             out.append(s[pos:i - 1])
             out.append(" \\\\\n & ")
             out.append(s[i - 1:i])

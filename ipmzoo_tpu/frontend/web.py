@@ -81,7 +81,6 @@ MathJax = {tex: {inlineMath: [['$', '$']]}, svg: {fontCache: 'global'}};
 body { font-family: system-ui, sans-serif; margin: 2em; max-width: 1100px; }
 fieldset { display: inline-block; vertical-align: top; margin: 0 1em 1em 0; }
 h2 { margin-top: 1.5em; }
-.dimzero .mjx-mtext, .matrix-zero { color: #bbb; }
 #content { margin-top: 1em; }
 .section { margin-bottom: 2em; }
 </style>
@@ -101,6 +100,8 @@ formulation lattice.</p>
 <div id="eq"></div><hr><div id="eqh"></div></fieldset>
 <fieldset><legend>Inequality handling</legend>
 <div id="ineqh"></div></fieldset>
+<fieldset><legend>Visualization</legend>
+<label><input type="checkbox" id="dim_zeros" checked> Dim zeros</label></fieldset>
 
 <div id="content">Loading derivations…</div>
 
@@ -127,13 +128,22 @@ function init() {
   radios(document.getElementById("eq"), "eq", ["0", "1"], state.eq, v => state.eq = v);
   radios(document.getElementById("eqh"), "eh", EQH, state.eh, v => state.eh = v);
   radios(document.getElementById("ineqh"), "ih", INEQH, state.ih, v => state.ih = v);
+  document.getElementById("dim_zeros").addEventListener("change", render);
   render();
+}
+
+// Grey out standalone 0 entries in matrix LaTeX (reference behaviour:
+// docs/ipm-derivation.js:24-27 — same regex, same colour).
+function dimZeros(str) {
+  const useDimmedZeros = document.getElementById("dim_zeros").checked;
+  return useDimmedZeros
+    ? str.replace(/(\D|^)0(\D|$)/g, '$1{\\color{lightgray}0}$2') : str;
 }
 
 function sysBlock(title, s) {
   if (!s.lhs) return `<h3>${title}</h3><p>(empty)</p>`;
   let out = `<h3>${title}</h3>
-  $$\\begin{bmatrix} ${s.lhs} \\end{bmatrix}
+  $$\\begin{bmatrix} ${dimZeros(s.lhs)} \\end{bmatrix}
     \\begin{bmatrix} ${s.variables.replaceAll("\n", " ")} \\end{bmatrix} =
     \\begin{bmatrix} ${s.rhs_shorthand} \\end{bmatrix}$$`;
   if (s.delta_definitions)

@@ -49,6 +49,45 @@ class TestLatex:
         assert "\\leq" not in s
 
 
+_LATEX_GOLDEN = os.path.join(os.path.dirname(__file__), "golden",
+                             "latex_strings.json.gz")
+
+
+def _latex_cases():
+    import gzip
+    with gzip.open(_LATEX_GOLDEN, "rt") as f:
+        return json.load(f)
+
+
+class TestLatexGolden:
+    """Exact string parity with the reference's web presentation layer
+    (/root/reference/src/wasm_bindings.cpp:33-249), pinned by the oracle
+    fixture — see tests/golden/README.md for provenance."""
+
+    @pytest.mark.parametrize("key", sorted(_latex_cases()))
+    def test_latex_parity(self, key):
+        from ipmzoo_tpu.formulations import EqualityHandling
+        gold = _latex_cases()[key]
+        ib, vb, eq, eh, ih = key.split("|")
+        st = Settings(inequalities=Bounds(ib), variable_bounds=Bounds(vb),
+                      equalities=eq == "1",
+                      equality_handling=EqualityHandling(eh),
+                      inequality_handling=InequalityHandling(ih))
+        assert render_problem(st, ProblemStage.SLACKED) == \
+            gold["problem_slacked"]
+        assert render_problem(st, ProblemStage.SLACKED_WITH_BARRIERS) == \
+            gold["problem_barrier"]
+        assert render_lagrangian(st) == gold["lagrangian"]
+        assert render_first_order_conditions(st) == gold["kkt"]
+        systems = render_newton_systems(st)
+        for name in ("full", "augmented", "normal"):
+            s = getattr(systems, name)
+            for field in ("lhs", "rhs", "rhs_shorthand", "variables",
+                          "delta_definitions"):
+                assert getattr(s, field) == gold[name][field], \
+                    f"{name}.{field} mismatch"
+
+
 class TestWeb:
     def test_generate_site(self, tmp_path):
         from ipmzoo_tpu.frontend.web import generate_site
@@ -62,6 +101,17 @@ class TestWeb:
         sample = data["both|both|0|none|slacked_slacks"]
         assert "problem" in sample and "systems" in sample
         assert sample["systems"]["augmented"]["lhs"]
+
+    def test_dim_zeros_toggle_wired(self, tmp_path):
+        # reference behaviour: docs/index.html "Dim zeros" checkbox +
+        # ipm-derivation.js:24-27 regex wrapping standalone 0s.
+        from ipmzoo_tpu.frontend.web import _PAGE
+        assert 'id="dim_zeros" checked' in _PAGE
+        assert "function dimZeros" in _PAGE
+        assert r"{\\color{lightgray}0}" in _PAGE
+        # applied to every system matrix body, and re-renders on change
+        assert _PAGE.count("dimZeros(s.lhs)") == 1
+        assert 'getElementById("dim_zeros").addEventListener' in _PAGE
 
 
 class TestCLI:
