@@ -123,32 +123,22 @@ def bench_steps(data, backend):
 
 
 def bench_sharded(data, backend):
-    """dp-sharded batched stepping over all visible devices.
+    """dp-sharded batched stepping over all visible devices, with
+    strong-scaling efficiency vs a single-device run of the same batch.
 
-    On a single chip this equals bench_steps; on a pod slice the batch
-    shards over the mesh with no hot-path communication, so iterations/s
-    scale with device count (modulo load imbalance)."""
-    import jax
-    from jax import lax
-    from ipmzoo_tpu.parallel.mesh import batch_sharding, make_mesh
-    from ipmzoo_tpu.utils.timing import measure_chain
+    On a single chip efficiency is trivially 100%; on a pod slice the
+    batch shards over the mesh with no hot-path communication, and the
+    report makes the >=80% scaling target (BASELINE.md) measurable."""
+    from ipmzoo_tpu.parallel.scaling import dp_scaling_report
 
-    n_dev = len(jax.devices())
-    mesh = make_mesh()
     solver = _solver()
-    data = jax.device_put(data, batch_sharding(mesh))
-    stepv = jax.vmap(solver._step_impl)
-    K = 10
-
-    @jax.jit
-    def k_steps(state):
-        return lax.fori_loop(0, K, lambda i, s: stepv(s, data), state)
-
-    state = jax.jit(jax.vmap(solver.init_state))(data)
-    t = measure_chain(k_steps, state, reps=(3, 9))
+    report = dp_scaling_report(solver, data, steps=10)
+    print(report.summary(), file=sys.stderr)
     label = (f"IPM iterations/s, {BATCH} batched QPs, dp-sharded over "
-             f"{n_dev} device(s) (n={N}, m={M_INEQ}, {backend})")
-    return label, BATCH * K / t
+             f"{report.n_devices} device(s), strong-scaling efficiency "
+             f"{100 * report.efficiency:.1f}% vs 1 device "
+             f"(n={N}, m={M_INEQ}, {backend})")
+    return label, report.iters_per_s_ndev
 
 
 def bench_fused(data, backend):
