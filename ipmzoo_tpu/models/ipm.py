@@ -34,6 +34,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..formulations import (Settings, VariableNames, augmented_system,
                             build_symbols, delta_variable, newton_system,
@@ -127,10 +128,11 @@ class CompiledIPM:
 
         self._kernel_choice = kernel
         if kernel not in ("auto", "ldlt", "jnp", "block", "blockg", "lu",
-                          "normal"):
+                          "regldlt", "normal"):
             raise ValueError(
                 f"unknown kernel={kernel!r}; expected one of "
-                "('auto', 'ldlt', 'jnp', 'block', 'blockg', 'lu', 'normal')")
+                "('auto', 'ldlt', 'jnp', 'block', 'blockg', 'lu', "
+                "'regldlt', 'normal')")
         if kernel == "normal" and df_residuals:
             raise NotImplementedError(
                 "kernel='normal' pre-binds dense-matrix inverses in working "
@@ -184,11 +186,11 @@ class CompiledIPM:
         # Optimizer.cpp:75).
         self._indefinite = any(aug.lhs[i][i] is E.ZERO
                                for i in range(len(aug.lhs)))
-        if self._indefinite and kernel not in ("auto", "lu"):
+        if self._indefinite and kernel not in ("auto", "lu", "regldlt"):
             raise NotImplementedError(
                 "augmented system has a symbolically zero diagonal block "
-                "(indefinite); use kernel='lu' (or 'auto'), or a "
-                "formulation with a quasi-definite augmented system")
+                "(indefinite); use kernel='regldlt' / 'lu' (or 'auto'), or "
+                "a formulation with a quasi-definite augmented system")
 
         # --- sizes, offsets, index maps ----------------------------------
         size_of = {
@@ -286,8 +288,17 @@ class CompiledIPM:
         #   updates for ANY quasi-definite augmented system; diagonal
         #   signs are structural (+ primal groups, - dual groups,
         #   Vanderbei 1995).
-        # "lu": partial-pivoting LU (the only sound choice for genuinely
-        #   indefinite augmented systems; auto-selected for those).
+        # "regldlt": signed-regularised LDL^T + iterative refinement for
+        #   genuinely indefinite augmented systems (zero dual diagonal,
+        #   e.g. EqualityHandling.NONE): add +delta I to primal rows and
+        #   -delta I to dual rows (primal-dual proximal regularisation),
+        #   making the system quasi-definite so the unpivoted (batched
+        #   Pallas) LDL^T kernels apply, then refine against the TRUE
+        #   unregularised matrix until the perturbation is gone.
+        #   Auto-selected for indefinite systems: dynamic-pivoting LU is
+        #   hostile to batched fixed-shape TPU execution.
+        # "lu": partial-pivoting LU (XLA's generic kernel; the dynamic-
+        #   pivoting reference choice, kept for parity/fallback).
         # "auto": block when the augmented system is 2x2 and the leading
         #   block is large enough for blocked Cholesky to win; blockg for
         #   other large quasi-definite structures.
@@ -298,8 +309,12 @@ class CompiledIPM:
                        o.lambda_sxl, o.lambda_sxu}
         self.group_signs = tuple(
             -1.0 if v in dual_groups else 1.0 for v in self.aug.variables)
-        if self._indefinite or kernel == "lu":
+        if self._indefinite:
+            self._mode = "lu" if kernel == "lu" else "regldlt"
+        elif kernel == "lu":
             self._mode = "lu"
+        elif kernel == "regldlt":
+            self._mode = "regldlt"
         elif kernel == "block":
             if not can_block:
                 raise ValueError("kernel='block' needs a 2x2 augmented "
@@ -315,8 +330,8 @@ class CompiledIPM:
             self._mode = "blockg"
         else:
             self._mode = "ldlt"
-        if self._mode == "ldlt" and kernel in ("auto", "ldlt") and \
-                pivot_floor == 1e-8:
+        if self._mode in ("ldlt", "regldlt") and \
+                kernel in ("auto", "ldlt", "regldlt") and pivot_floor == 1e-8:
             from ..ops.pallas_ldlt import ldlt_auto, solve_ldlt_auto
             self._factor = ldlt_auto
             self._solve_kernel = solve_ldlt_auto
@@ -324,6 +339,13 @@ class CompiledIPM:
             from ..ops.blocked_ldlt import ldlt_blocked
             self._factor = lambda K: ldlt_blocked(K, self.pivot_floor)
             self._solve_kernel = solve_ldlt
+
+        # signed row regularisation for the regldlt mode: +1 on primal
+        # groups, -1 on dual groups (same structural signs blockg uses)
+        self._sign_vec = np.concatenate(
+            [np.full(s, sign, dtype=np.float64)
+             for s, sign in zip(self.aug_sizes, self.group_signs)]
+        ) if self.aug_sizes else np.zeros((0,))
 
         # jitted entry points
         self._solve_jit = jax.jit(self._solve_impl)
@@ -543,6 +565,35 @@ class CompiledIPM:
                 sol = lu_solve(factors, b)
                 for _ in range(self.refine):
                     sol = sol + lu_solve(factors, resid(b, sol))
+                return sol
+
+            return solve
+
+        if self._mode == "regldlt":
+            # signed proximal regularisation K + delta * diag(signs):
+            # the perturbed system is quasi-definite (Vanderbei 1995), so
+            # the unpivoted batched LDL^T kernels are sound; refinement
+            # against the TRUE K removes the O(delta) perturbation.  The
+            # contraction factor per sweep is ~delta*||K^{-1}||*scale, so
+            # eps^{2/3} reaches the dtype floor in <= 3 sweeps for
+            # moderately conditioned systems.
+            K = self._assemble_kkt(env)
+            eps = float(jnp.finfo(self.dtype).eps)
+            scale = jnp.maximum(jnp.asarray(1.0, self.dtype),
+                                jnp.max(jnp.abs(jnp.diagonal(K))))
+            delta = jnp.asarray(eps ** (2.0 / 3.0), self.dtype) * scale
+            signs = jnp.asarray(self._sign_vec, self.dtype)
+            Kr = K + jnp.diag(delta * signs)
+            L, D = self._factor(Kr)
+            resid = self._residual_fn(K)
+            nref = max(self.refine, 3)
+
+            def solve(b):
+                if b.shape[0] == 0:
+                    return b
+                sol = self._solve_kernel(L, D, b)
+                for _ in range(nref):
+                    sol = sol + self._solve_kernel(L, D, resid(b, sol))
                 return sol
 
             return solve

@@ -176,28 +176,81 @@ class TestBatched:
 class TestIndefiniteSystems:
     """Equalities with EqualityHandling.NONE keep a zero diagonal block:
     the augmented system is genuinely indefinite.  The reference hard-fails
-    there (Optimizer.cpp:75); we route to partial-pivoting LU."""
+    there (Optimizer.cpp:75); we route to signed-regularised LDL^T +
+    refinement (batched-TPU-friendly), with partial-pivoting LU kept as an
+    explicit fallback."""
 
     SETTINGS = Settings(
         inequalities=Bounds.NONE, variable_bounds=Bounds.NONE,
         equalities=True, equality_handling=EqualityHandling.NONE)
 
+    def _eq_qp(self, n):
+        # min 1/2||x||^2 - x1 s.t. sum(x) = 1 -> x = (1,0,...,0)
+        return QPData.make(
+            Q=np.eye(n), c=[-1.0] + [0.0] * (n - 1),
+            A_eq=np.ones((1, n)), b_eq=[1.0], dtype=jnp.float64)
+
     def test_zero_diagonal_raises_for_ldlt(self):
         with pytest.raises(NotImplementedError):
             CompiledIPM(self.SETTINGS, n=3, m_eq=1, kernel="ldlt")
 
-    def test_lu_solves_equality_qp(self):
-        # min 1/2||x||^2 - x1 s.t. sum(x) = 1 -> x = (1,0,0) + lam, lam=0
-        n = 3
-        data = QPData.make(
-            Q=np.eye(n), c=[-1.0, 0.0, 0.0],
-            A_eq=np.ones((1, n)), b_eq=[1.0], dtype=jnp.float64)
-        s = CompiledIPM(self.SETTINGS, n=n, m_eq=1)  # auto -> LU
-        assert s._mode == "lu"
-        res = s.solve(data)
+    def test_auto_selects_regldlt(self):
+        s = CompiledIPM(self.SETTINGS, n=3, m_eq=1)
+        assert s._mode == "regldlt"
+        res = s.solve(self._eq_qp(3))
         assert bool(res.converged) and not bool(res.diverged)
         np.testing.assert_allclose(np.asarray(res.x), [1.0, 0.0, 0.0],
                                    atol=1e-9)
+
+    def test_lu_solves_equality_qp(self):
+        s = CompiledIPM(self.SETTINGS, n=3, m_eq=1, kernel="lu")
+        assert s._mode == "lu"
+        res = s.solve(self._eq_qp(3))
+        assert bool(res.converged) and not bool(res.diverged)
+        np.testing.assert_allclose(np.asarray(res.x), [1.0, 0.0, 0.0],
+                                   atol=1e-9)
+
+    def test_regldlt_matches_lu(self):
+        n = 6
+        rng = np.random.default_rng(3)
+        M = rng.normal(size=(n, n))
+        data = QPData.make(
+            Q=M @ M.T / n + np.eye(n), c=rng.normal(size=n),
+            A_eq=rng.normal(size=(2, n)), b_eq=rng.normal(size=2),
+            dtype=jnp.float64)
+        res_reg = CompiledIPM(self.SETTINGS, n=n, m_eq=2).solve(data)
+        res_lu = CompiledIPM(self.SETTINGS, n=n, m_eq=2,
+                             kernel="lu").solve(data)
+        assert bool(res_reg.converged) and bool(res_lu.converged)
+        np.testing.assert_allclose(np.asarray(res_reg.x),
+                                   np.asarray(res_lu.x),
+                                   rtol=1e-8, atol=1e-8)
+
+    def test_batched_indefinite_solves(self):
+        # the point of regldlt: vmapped solves ride the batched LDL^T
+        # kernels instead of XLA's generic pivoted LU
+        n, m, batch = 8, 3, 16
+        rng = np.random.default_rng(11)
+        M = rng.normal(size=(batch, n, n))
+        data = QPData.make(
+            Q=np.einsum("bij,bkj->bik", M, M) / n + np.eye(n),
+            c=rng.normal(size=(batch, n)),
+            A_eq=rng.normal(size=(batch, m, n)),
+            b_eq=rng.normal(size=(batch, m)), dtype=jnp.float64)
+        s = CompiledIPM(self.SETTINGS, n=n, m_eq=m)
+        assert s._mode == "regldlt"
+        res = s.solve_batch(data)
+        assert bool(jnp.all(res.converged))
+        # KKT check: Q x + c + A^T lam = 0, A x = b
+        x = np.asarray(res.x)
+        lam = np.asarray(res.variables["\\lambda_{C}"])
+        Q = np.asarray(data.Q)
+        r_stat = np.einsum("bij,bj->bi", Q, x) + np.asarray(data.c) + \
+            np.einsum("bji,bj->bi", np.asarray(data.A_eq), lam)
+        r_eq = np.einsum("bij,bj->bi", np.asarray(data.A_eq), x) - \
+            np.asarray(data.b_eq)
+        assert np.max(np.abs(r_stat)) < 1e-7
+        assert np.max(np.abs(r_eq)) < 1e-7
 
 
 class TestDivergenceGuard:

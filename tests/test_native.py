@@ -106,3 +106,69 @@ class TestBunchKaufman:
         x = native.bunch_kaufman_solve(F, ipiv, b)
         np.testing.assert_allclose(x, np.linalg.solve(A, b),
                                    rtol=1e-8, atol=1e-8)
+
+
+class TestRegLDLTAgainstBK:
+    """Correctness fallback for the IPM's 'regldlt' mode: the signed-
+    regularised unpivoted LDL^T + iterative-refinement recipe must
+    reproduce the native Bunch-Kaufman (dynamically pivoted) solution on
+    genuinely indefinite KKT systems with a zero dual block."""
+
+    @staticmethod
+    def _kkt(n, m, seed):
+        rng = np.random.default_rng(seed)
+        Q = rng.normal(size=(n, n))
+        Q = Q @ Q.T / n + np.eye(n)
+        A = rng.normal(size=(m, n))
+        return np.block([[Q, A.T], [A, np.zeros((m, m))]])
+
+    @staticmethod
+    def _regldlt_solve(K, b, signs, sweeps=3):
+        import jax.numpy as jnp
+        from ipmzoo_tpu.ops.pallas_ldlt import ldlt_auto, solve_ldlt_auto
+        Kj = jnp.asarray(K)
+        eps = float(np.finfo(K.dtype).eps)
+        scale = max(1.0, float(np.max(np.abs(np.diag(K)))))
+        Kr = Kj + jnp.diag(jnp.asarray(signs * eps ** (2 / 3) * scale))
+        L, D = ldlt_auto(Kr)
+        x = solve_ldlt_auto(L, D, jnp.asarray(b))
+        for _ in range(sweeps):
+            x = x + solve_ldlt_auto(L, D, jnp.asarray(b) - Kj @ x)
+        return np.asarray(x)
+
+    @pytest.mark.parametrize("n,m", [(6, 2), (20, 8), (48, 17)])
+    def test_matches_bunch_kaufman(self, n, m):
+        K = self._kkt(n, m, seed=n)
+        b = np.random.default_rng(n + 1).normal(size=n + m)
+        F, ipiv, info = native.bunch_kaufman_factor(K)
+        assert info == 0
+        x_bk = native.bunch_kaufman_solve(F, ipiv, b)
+        signs = np.concatenate([np.ones(n), -np.ones(m)])
+        x_reg = self._regldlt_solve(K, b, signs)
+        np.testing.assert_allclose(x_reg, x_bk, rtol=1e-9, atol=1e-9)
+
+    def test_batched_matches_bunch_kaufman(self):
+        import jax
+        import jax.numpy as jnp
+        from ipmzoo_tpu.ops.pallas_ldlt import ldlt_auto, solve_ldlt_auto
+        n, m, batch = 12, 5, 8
+        Ks = np.stack([self._kkt(n, m, seed=100 + i) for i in range(batch)])
+        bs = np.random.default_rng(0).normal(size=(batch, n + m))
+        signs = np.concatenate([np.ones(n), -np.ones(m)])
+        eps = float(np.finfo(np.float64).eps)
+
+        def solve_one(K, b):
+            Kr = K + jnp.diag(jnp.asarray(signs) * eps ** (2 / 3))
+            L, D = ldlt_auto(Kr)
+            x = solve_ldlt_auto(L, D, b)
+            for _ in range(3):
+                x = x + solve_ldlt_auto(L, D, b - K @ x)
+            return x
+
+        xs = np.asarray(jax.jit(jax.vmap(solve_one))(
+            jnp.asarray(Ks), jnp.asarray(bs)))
+        for i in range(batch):
+            F, ipiv, info = native.bunch_kaufman_factor(Ks[i])
+            assert info == 0
+            x_bk = native.bunch_kaufman_solve(F, ipiv, bs[i])
+            np.testing.assert_allclose(xs[i], x_bk, rtol=1e-9, atol=1e-9)
