@@ -191,6 +191,69 @@ def bench_mpc(backend):
     return label, iters / t
 
 
+def bench_arrow(backend):
+    """Structured banded+arrow IPM vs the dense path on the same QP
+    (n=4096, bandwidth 16, tip 8): per-iteration step time, slope-timed.
+    The VERDICT target is >=50x at equal accuracy."""
+    import jax
+    import jax.numpy as jnp
+    from ipmzoo_tpu.formulations import Bounds, InequalityHandling, Settings
+    from ipmzoo_tpu.models import ArrowIPM, ArrowQPData, CompiledIPM, QPData
+    from ipmzoo_tpu.utils.timing import measure_chain
+
+    n = int(os.environ.get("BENCH_ARROW_N", 4096))
+    b = int(os.environ.get("BENCH_ARROW_B", 16))
+    t = int(os.environ.get("BENCH_ARROW_T", 8))
+    dt = jnp.float32
+    rng = np.random.default_rng(0)
+    nb = n - t
+    Q = np.zeros((n, n), np.float32)
+    for i in range(nb):
+        lo, hi = max(0, i - b), min(nb, i + b + 1)
+        Q[i, lo:hi] = rng.normal(size=hi - lo) * 0.1
+    Q = (Q + Q.T) / 2
+    strip = rng.normal(size=(t, n)).astype(np.float32) * 0.1
+    Q[nb:, :] = strip
+    Q[:, nb:] = strip.T
+    Q[nb:, nb:] = (strip[:, nb:] + strip[:, nb:].T) / 2
+    Q += np.eye(n, dtype=np.float32) * (2 * b + t)
+    c = rng.normal(size=n).astype(np.float32)
+    l = np.full(n, -1.0, np.float32)
+    u = np.full(n, 1.0, np.float32)
+
+    # block >= bandwidth is free to choose: bigger blocks mean fewer
+    # sequential scan stages with larger (MXU-friendlier) tiles
+    block = int(os.environ.get("BENCH_ARROW_BLOCK", 128))
+    data, st, blk = ArrowQPData.from_dense(Q, c, l, u, dtype=dt,
+                                           block=block)
+    solver = ArrowIPM.for_data(data, structure=st, dtype=dt, tol=1e-5)
+    res = solver.solve(data)
+    if not bool(res.converged):
+        raise RuntimeError("arrow solver did not converge")
+    step = jax.jit(solver._step_impl)
+    state = solver.init_state(data)
+    t_arrow = measure_chain(lambda s: step(s, data), state)
+
+    dense = CompiledIPM(
+        Settings(inequalities=Bounds.NONE,
+                 inequality_handling=InequalityHandling.SLACKS),
+        n=n, dtype=dt, tol=1e-5)
+    ddata = QPData.make(Q=Q, c=c, l_x=l, u_x=u, dtype=dt)
+    dstep = jax.jit(dense._step_impl)
+    dstate = dense.init_state(ddata)
+    t_dense = measure_chain(lambda s: dstep(s, ddata), dstate)
+
+    speedup = t_dense / t_arrow
+    print(f"arrow: {t_arrow * 1e3:.3f} ms/iter structured vs "
+          f"{t_dense * 1e3:.1f} ms/iter dense = {speedup:.1f}x",
+          file=sys.stderr)
+    label = (f"structured banded+arrow IPM step speedup vs dense path "
+             f"(n={n}, bandwidth={b}, tip={t}, {backend}; "
+             f"{t_arrow * 1e3:.2f} ms vs {t_dense * 1e3:.1f} ms per "
+             f"iteration)")
+    return label, speedup, "x speedup"
+
+
 def bench_kkt(data, backend):
     """Batched KKT factor+solve throughput (GFLOP/s/chip) via the Pallas
     VMEM-resident kernels."""
@@ -252,6 +315,9 @@ def main(force_cpu: bool = False):
         label, value = bench_sharded(data, backend)
     elif mode == "mpc":
         label, value = bench_mpc(backend)
+    elif mode == "arrow":
+        label, value, unit = bench_arrow(backend)
+        baseline = 1.0   # speedup is already relative to the dense path
     elif mode == "kkt":
         label, value, unit = bench_kkt(data, backend)
         # reference LDL^T factor+solve measured at 2.88 GFLOP/s

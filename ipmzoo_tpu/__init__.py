@@ -32,7 +32,8 @@ from .formulations import (Bounds, EqualityHandling,  # noqa: E402
 def __getattr__(name):
     # heavier imports (jax) stay lazy so `import ipmzoo_tpu` is instant
     if name in ("CompiledIPM", "QPData", "SolveResult", "IPMState",
-                "RiccatiIPM", "MPCData", "MPCSolveResult"):
+                "RiccatiIPM", "MPCData", "MPCSolveResult",
+                "ArrowIPM", "ArrowQPData", "ArrowSolveResult"):
         from . import models
         return getattr(models, name)
     if name == "FusedBatchedIPM":

@@ -1,8 +1,10 @@
 """Numerical solvers: staged XLA programs derived from symbolic systems."""
 
+from .arrow import ArrowIPM, ArrowQPData, ArrowSolveResult
 from .data import QPData, validate
 from .ipm import CompiledIPM, IPMState, SolveResult
 from .mpc import MPCData, MPCSolveResult, RiccatiIPM
 
 __all__ = ["QPData", "validate", "CompiledIPM", "IPMState", "SolveResult",
-           "MPCData", "MPCSolveResult", "RiccatiIPM"]
+           "MPCData", "MPCSolveResult", "RiccatiIPM",
+           "ArrowIPM", "ArrowQPData", "ArrowSolveResult"]
