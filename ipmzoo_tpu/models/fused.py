@@ -123,15 +123,19 @@ class FusedBatchedIPM(CompiledIPM):
     small QPs.  API: ``solve_fused(batched QPData) -> SolveResult``-like
     dict of arrays.
 
-    Measured (v5e, n=16, m=8, 10240 QPs, bt=512, slope-timed — see
-    utils/timing.py; the round-1 claim of "0.134 ms/batch" was dispatch
-    latency recorded by a non-blocking block_until_ready, not
-    execution): the fused kernel currently solves the full batch in
-    ~54 ms, ~10x SLOWER per iteration than the vmapped-step XLA path.
-    The kernel is instruction-issue-bound (ops on (aug_dim, bt) slices
-    are a handful of vregs each) with ~50x headroom to VPU
-    speed-of-light; its architectural advantage (zero HBM traffic
-    between iterations) only pays once the issue bound is broken.
+    Measured (v5e, n=16, m=8, 10240 QPs, bt=512, f32, slope-timed — see
+    utils/timing.py): ~0.013 ms per 512-instance tile-iteration
+    (~1.2 TFLOP/s of VPU work; measured by sloping whole-solve time over
+    max_iter), full batch solved to tol 1e-5 in ~4.6 ms (99.99%
+    converged — plain Mehrotra cycles on ~1e-4 of instances) or ~6 ms at
+    100% with the Gondzio tail (:meth:`solve_fused_refined`) —
+    1.4-1.9x the compacted XLA step path.  bt=512 is the sweet spot
+    (bt=1024 is slower, bt=2048 exceeds VMEM).  Two historical
+    mismeasurements, documented so they are not re-recorded: the round-1
+    "0.134 ms/batch" was dispatch latency (non-blocking
+    block_until_ready), and an early round-2 "54 ms/batch, 10x slower
+    than the step path" was taken through a degraded tunnel — per-
+    max_iter slope timing on a healthy device gives the numbers above.
     The factorisation runs IN PLACE in a single scratch buffer to keep
     VMEM headroom for larger batch tiles.
 
@@ -540,3 +544,104 @@ class FusedBatchedIPM(CompiledIPM):
             "gap": gap_b,
             "converged": (res_b < tol) & (gap_b < tol),
         }
+
+    # -- hybrid: fused core + restarted Gondzio tail ---------------------
+
+    def _refined_impl(self, data: QPData, tail_cap: int, tail_iters: int,
+                      tail_gondzio: int):
+        out = self.solve_fused(data)
+        B = data.Q.shape[0]
+        cap = min(tail_cap, B)
+        dt = self.dtype
+
+        # gather the unconverged stragglers (actives first; converged
+        # slots gathered as padding are re-solved harmlessly)
+        take = jnp.argsort(out["converged"])[:cap]
+        s_data = jax.tree_util.tree_map(lambda a: a[take], data)
+        s_was_conv = out["converged"][take]
+
+        # RESTART from the initial iterate: the fused core runs plain
+        # Mehrotra, which cycles on ~1e-4 of instances (an attractor —
+        # correcting mid-cycle stays trapped); Gondzio from a cold start
+        # converges in ~11 iterations on the same instances (same
+        # anti-cycling design as CompiledIPM.solve_batch_compact).
+        s_state = jax.vmap(self.init_state)(s_data)
+        from .ipm import IPMState
+        s_state = IPMState(vars=s_state.vars, mu=s_state.mu,
+                           iteration=out["iterations"][take].astype(
+                               jnp.int32),
+                           residual=s_state.residual, gap=s_state.gap)
+        s_tol = jnp.full((cap,), self.tol, dt)
+        # early-exit while: instances the fused core already converged
+        # are frozen from step 0 (they were only gathered as static-
+        # shape padding); the loop ends when every straggler converges
+        # or diverges — typically ~12 Gondzio steps, not tail_iters.
+        stepv = jax.vmap(functools.partial(self._step_impl,
+                                           gondzio=tail_gondzio))
+
+        def mask_like(m, leaf):
+            return m.reshape(m.shape + (1,) * (leaf.ndim - 1))
+
+        def s_done(st):
+            return (st.residual < s_tol) & (st.gap < self.tol)
+
+        def cond(carry):
+            st, div, it = carry
+            frozen = s_was_conv | s_done(st) | div
+            return jnp.logical_and(it < tail_iters,
+                                   ~jnp.all(frozen))
+
+        def body(carry):
+            st, div, it = carry
+            frozen = s_was_conv | s_done(st) | div
+            new = stepv(st, s_data)
+            bad = (jnp.isnan(new.residual) | jnp.isinf(new.residual) |
+                   jnp.isnan(new.gap))
+            keep = frozen | bad
+            merged = jax.tree_util.tree_map(
+                lambda o, n_: jnp.where(mask_like(keep, n_), o, n_),
+                st, new)
+            return merged, div | (bad & ~frozen), it + 1
+
+        s_state, s_div, _ = jax.lax.while_loop(
+            cond, body, (s_state, jnp.zeros((cap,), bool),
+                         jnp.asarray(0, jnp.int32)))
+        s_conv = s_done(s_state) & ~s_div
+        s_vars = jnp.concatenate(s_state.vars, axis=-1) \
+            if len(s_state.vars) > 1 else s_state.vars[0]
+
+        # keep the tail result only where the fused core had failed and
+        # the tail converged
+        use = (~s_was_conv) & s_conv
+
+        def put(dst, src):
+            upd = jnp.where(use.reshape((-1,) + (1,) * (src.ndim - 1)),
+                            src, dst[take])
+            return dst.at[take].set(upd)
+
+        x_i = self.var_index[self.symbols.x]
+        off = sum(self.var_sizes[:x_i])
+        out["x"] = put(out["x"], s_vars[:, off:off + self.n])
+        out["variables"] = put(out["variables"], s_vars)
+        out["residual"] = put(out["residual"], s_state.residual)
+        out["gap"] = put(out["gap"], s_state.gap)
+        out["iterations"] = put(out["iterations"],
+                                s_state.iteration.astype(dt))
+        out["converged"] = put(out["converged"], s_conv)
+        return out
+
+    def solve_fused_refined(self, data: QPData, tail_cap: int = 128,
+                            tail_iters: int = 30, tail_gondzio: int = 2):
+        """Fused whole-solve plus a compacted anti-cycling tail: the
+        handful of instances plain Mehrotra cycles on are restarted
+        under Gondzio correctors in one small batched solve, inside the
+        same jit.  Converges the full batch at fused-engine speed."""
+        key = (tail_cap, tail_iters, tail_gondzio)
+        cache = getattr(self, "_refined_cache", None)
+        if cache is None:
+            cache = self._refined_cache = {}
+        if key not in cache:
+            cache[key] = jax.jit(functools.partial(
+                self._refined_impl, tail_cap=tail_cap,
+                tail_iters=tail_iters, tail_gondzio=tail_gondzio))
+        return cache[key](data)

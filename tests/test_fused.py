@@ -68,3 +68,37 @@ def test_fused_box_only():
     r = ref.solve_batch(data)
     np.testing.assert_allclose(np.asarray(f["x"]), np.asarray(r.x),
                                atol=1e-11)
+
+
+def test_fused_refined_converges_full_batch():
+    """The hybrid engine (fused core + in-jit Gondzio anti-cycling
+    tail) converges every instance and agrees with the XLA path."""
+    B, n, m = 16, 6, 3
+    data = make_batch(B, n, m, seed=3)
+    fused = FusedBatchedIPM(Settings(), n=n, m_ineq=m, bt=8,
+                            dtype=jnp.float64, max_iter=40)
+    out = fused.solve_fused_refined(data, tail_cap=4, tail_iters=30)
+    assert bool(jnp.all(out["converged"]))
+    ref = CompiledIPM(Settings(), n=n, m_ineq=m, dtype=jnp.float64,
+                      kernel="jnp", max_iter=40)
+    r = ref.solve_batch(data)
+    np.testing.assert_allclose(np.asarray(out["x"]), np.asarray(r.x),
+                               rtol=1e-9, atol=1e-9)
+
+
+def test_fused_refined_tail_rescues_straggler():
+    """An instance the fused core cannot finish in its budget is
+    restarted and solved by the Gondzio tail."""
+    B, n, m = 8, 6, 3
+    data = make_batch(B, n, m, seed=5)
+    # starve the fused core: 4 iterations is not enough to converge
+    fused = FusedBatchedIPM(Settings(), n=n, m_ineq=m, bt=8,
+                            dtype=jnp.float64, max_iter=4)
+    core = fused.solve_fused(data)
+    assert not bool(jnp.all(core["converged"]))
+    out = fused.solve_fused_refined(data, tail_cap=8, tail_iters=40)
+    assert bool(jnp.all(out["converged"]))
+    # per-instance iteration accounting: tail instances accumulate on
+    # top of the fused budget
+    rescued = ~np.asarray(core["converged"])
+    assert (np.asarray(out["iterations"])[rescued] > 4).all()
