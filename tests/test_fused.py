@@ -102,3 +102,22 @@ def test_fused_refined_tail_rescues_straggler():
     # top of the fused budget
     rescued = ~np.asarray(core["converged"])
     assert (np.asarray(out["iterations"])[rescued] > 4).all()
+
+
+def test_fused_compact_matches_refined():
+    """The compaction-scheduled fused solve (warm-started resume stages)
+    reaches the same solutions as the single-stage engine."""
+    B, n, m = 24, 6, 3
+    data = make_batch(B, n, m, seed=7)
+    fused = FusedBatchedIPM(Settings(), n=n, m_ineq=m, bt=8,
+                            dtype=jnp.float64, max_iter=40)
+    ref = fused.solve_fused_refined(data, tail_cap=8)
+    out = fused.solve_fused_compact(data, schedule=[(7, 1), (33, 3)],
+                                    tail_cap=8)
+    assert bool(jnp.all(out["converged"]))
+    np.testing.assert_allclose(np.asarray(out["x"]), np.asarray(ref["x"]),
+                               rtol=1e-9, atol=1e-9)
+    # iteration accounting is cumulative across resume stages: totals
+    # match the single-stage engine (same iterates, same counts)
+    np.testing.assert_allclose(np.asarray(out["iterations"]),
+                               np.asarray(ref["iterations"]))
