@@ -238,29 +238,144 @@ def bt_solve(f: BTFactors, r: jnp.ndarray) -> jnp.ndarray:
 
 
 # ----------------------------------------------------------------------
+# block cyclic reduction: batched levels instead of a sequential scan
+# ----------------------------------------------------------------------
+#
+# The scan factorisation above is a chain of N sequential
+# cholesky/triangular-solve stages; on TPU each XLA stage costs ~15-30us
+# of latency regardless of size, so N=32 stages is ~1ms of pure latency.
+# Cyclic reduction eliminates all ODD blocks of a level simultaneously —
+# log2(N) levels of BATCHED (m, b, b) operations — trading ~2x flops
+# (all MXU matmuls) for a 6x shorter dependency chain.  Eliminating the
+# odd blocks of an SPD block-tridiagonal matrix is a symmetrically
+# permuted block Cholesky (nested-dissection order), so SPD is preserved
+# level to level.  Explicit pivot inverses are stored so the SOLVES are
+# pure batched matmuls (no triangular solves on the critical path).
+
+
+class CRLevel(NamedTuple):
+    Pinv: jnp.ndarray   # (m/2, b, b) inverses of the odd pivots
+    Eb: jnp.ndarray     # (m/2, b, b) left couplings  E[2k]
+    Ea: jnp.ndarray     # (m/2, b, b) right couplings E[2k+1] (last = 0)
+
+
+class CRFactors(NamedTuple):
+    levels: tuple       # CRLevel per reduction level
+    root_inv: jnp.ndarray   # (b, b) inverse of the final 1x1-block pivot
+    n_blocks: int       # original (unpadded) block count
+
+
+def _spd_inv(M):
+    """Batched SPD inverse via Cholesky (stable for the IPM's barrier-
+    condensed diagonal blocks)."""
+    L = jnp.linalg.cholesky(M)
+    eye = jnp.broadcast_to(jnp.eye(M.shape[-1], dtype=M.dtype), M.shape)
+    Li = solve_triangular(L, eye, lower=True)
+    return jnp.swapaxes(Li, -1, -2) @ Li
+
+
+def cr_factor(D: jnp.ndarray, E: jnp.ndarray) -> CRFactors:
+    """Cyclic-reduction factorisation of an SPD block-tridiagonal
+    matrix.  D: (N, b, b), E: (N-1, b, b) sub-diagonal blocks."""
+    N, b = D.shape[0], D.shape[-1]
+    m = 1
+    while m < N:
+        m *= 2
+    if m != N:      # pad with identity blocks, zero couplings
+        pad = m - N
+        D = jnp.concatenate(
+            [D, jnp.broadcast_to(jnp.eye(b, dtype=D.dtype),
+                                 (pad, b, b))], axis=0)
+    Ez = jnp.zeros((1, b, b), D.dtype)
+    E = jnp.concatenate([E] + [Ez] * (m - E.shape[0]), axis=0)  # (m,b,b)
+
+    levels = []
+    while m > 1:
+        Po = D[1::2]
+        Eb = E[0::2]
+        Ea = E[1::2]
+        Pinv = _spd_inv(Po)
+        levels.append(CRLevel(Pinv=Pinv, Eb=Eb, Ea=Ea))
+        PiEb = Pinv @ Eb                       # (m/2, b, b)
+        De = D[0::2]
+        De = De - jnp.swapaxes(Eb, -1, -2) @ PiEb
+        left = Ea @ Pinv @ jnp.swapaxes(Ea, -1, -2)
+        De = De.at[1:].add(-left[:-1])
+        Enew = -(Ea @ PiEb)                    # E'[k], last entry 0
+        D, E, m = De, Enew, m // 2
+    return CRFactors(levels=tuple(levels), root_inv=_spd_inv(D[0:1])[0],
+                     n_blocks=N)
+
+
+def cr_solve(f: CRFactors, r: jnp.ndarray) -> jnp.ndarray:
+    """Solve with :func:`cr_factor` factors; r: (N, b, k)."""
+    N, b, k = r.shape
+    m = 1
+    while m < N:
+        m *= 2
+    if m != N:
+        r = jnp.concatenate([r, jnp.zeros((m - N, b, k), r.dtype)],
+                            axis=0)
+    # down-sweep: fold odd rhs into even neighbours
+    stack = []
+    for lev in f.levels:
+        ro = r[1::2]
+        g = lev.Pinv @ ro                      # (m/2, b, k)
+        re = r[0::2]
+        re = re - jnp.swapaxes(lev.Eb, -1, -2) @ g
+        re = re.at[1:].add(-(lev.Ea @ g)[:-1])
+        stack.append(ro)
+        r = re
+        m //= 2
+    # root
+    x = (f.root_inv @ r[0])[None]              # (1, b, k)
+    # up-sweep: recover odd unknowns
+    for lev, ro in zip(reversed(f.levels), reversed(stack)):
+        m2 = x.shape[0]
+        xe_next = jnp.concatenate(
+            [x[1:], jnp.zeros((1, b, k), x.dtype)], axis=0)
+        rhs = ro - lev.Eb @ x - jnp.swapaxes(lev.Ea, -1, -2) @ xe_next
+        xo = lev.Pinv @ rhs
+        xi = jnp.stack([x, xo], axis=1).reshape(2 * m2, b, k)
+        x = xi
+    return x[:N]
+
+
+# ----------------------------------------------------------------------
 # arrow = block-tridiagonal + dense tip, via Schur complement
 # ----------------------------------------------------------------------
 
 class ArrowFactors(NamedTuple):
-    bt: BTFactors
+    bt: object              # BTFactors (scan) or CRFactors (cyclic red.)
     W: jnp.ndarray          # (N, b, t) = B^{-1} U^T, blocked
     tip_chol: jnp.ndarray   # (t, t) lower Cholesky of the tip Schur
 
 
-def arrow_factor(D, E, U, Ctip) -> ArrowFactors:
+def _bsolve(fac, r):
+    return cr_solve(fac, r) if isinstance(fac, CRFactors) else \
+        bt_solve(fac, r)
+
+
+def arrow_factor(D, E, U, Ctip, method: str = "auto") -> ArrowFactors:
     """Factor [[B, U^T], [U, Ctip]] with B block-tridiagonal SPD (given
-    as D, E) and t = Ctip.shape[0] dense arrow rows (SPD overall)."""
+    as D, E) and t = Ctip.shape[0] dense arrow rows (SPD overall).
+
+    ``method``: "scan" (sequential stages — lowest flops), "cr" (cyclic
+    reduction — log2(N) BATCHED levels, ~2x flops but a 6x shorter
+    latency chain: the TPU-right choice), or "auto" (cr for N >= 8)."""
     N, b = D.shape[0], D.shape[-1]
     t = Ctip.shape[0]
-    bt = bt_factor(D, E)
+    if method == "auto":
+        method = "cr" if N >= 8 else "scan"
+    fac = cr_factor(D, E) if method == "cr" else bt_factor(D, E)
     if t == 0:
-        return ArrowFactors(bt=bt, W=jnp.zeros((N, b, 0), D.dtype),
+        return ArrowFactors(bt=fac, W=jnp.zeros((N, b, 0), D.dtype),
                             tip_chol=jnp.zeros((0, 0), D.dtype))
     Ub = jnp.swapaxes(U.reshape(t, N, b), 0, 1)          # (N, b->?)
     Ub = jnp.swapaxes(Ub, 1, 2)                          # (N, b, t)
-    W = bt_solve(bt, Ub)                                 # (N, b, t)
+    W = _bsolve(fac, Ub)                                 # (N, b, t)
     S = Ctip - jnp.einsum("nbt,nbs->ts", W, Ub)
-    return ArrowFactors(bt=bt, W=W, tip_chol=jnp.linalg.cholesky(S))
+    return ArrowFactors(bt=fac, W=W, tip_chol=jnp.linalg.cholesky(S))
 
 
 def arrow_solve(f: ArrowFactors, r_band: jnp.ndarray,
@@ -269,7 +384,7 @@ def arrow_solve(f: ArrowFactors, r_band: jnp.ndarray,
     """
     N, b, t = f.W.shape
     rb = r_band.reshape(N, b, 1)
-    w = bt_solve(f.bt, rb)                               # (N, b, 1)
+    w = _bsolve(f.bt, rb)                                # (N, b, 1)
     if t == 0:
         return w[..., 0].reshape(-1), r_tip
     # U B^{-1} r = (B^{-1} U^T)^T r = W^T r  (B symmetric)

@@ -174,3 +174,31 @@ class TestArrowIPM:
             single = solver.solve(datas[i])
             np.testing.assert_allclose(np.asarray(res.x[i]),
                                        np.asarray(single.x), atol=1e-9)
+
+
+class TestCyclicReduction:
+    @pytest.mark.parametrize("N,b", [(4, 8), (5, 8), (32, 16), (1, 8)])
+    def test_cr_matches_dense(self, N, b):
+        from ipmzoo_tpu.ops.banded import cr_factor, cr_solve
+        n = N * b
+        Q = make_arrow_spd(n, b, 0, seed=N * 10 + b)
+        D, E, U, C = band_to_blocks(jnp.asarray(Q), b, 0)
+        f = cr_factor(D, E)
+        r = np.random.default_rng(1).normal(size=(n, 3))
+        x = cr_solve(f, jnp.asarray(r.reshape(N, b, 3)))
+        np.testing.assert_allclose(
+            Q @ np.asarray(x).reshape(n, 3), r, atol=1e-11)
+
+    def test_arrow_cr_matches_scan(self):
+        n, b, t = 93, 8, 5
+        Q = make_arrow_spd(n, b, t, seed=42)
+        D, E, U, C = band_to_blocks(jnp.asarray(Q), b, t)
+        r = np.random.default_rng(2).normal(size=n)
+        outs = []
+        for method in ("scan", "cr"):
+            f = arrow_factor(D, E, U, C, method=method)
+            xb, xt = arrow_solve(f, jnp.asarray(r[:n - t]),
+                                 jnp.asarray(r[n - t:]))
+            outs.append(np.concatenate([np.asarray(xb), np.asarray(xt)]))
+        np.testing.assert_allclose(outs[0], outs[1], rtol=1e-11,
+                                   atol=1e-11)
