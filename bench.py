@@ -371,20 +371,32 @@ def _run_engine(mode: str, timeout_s: int, force_cpu: bool = False,
     return None
 
 
-def _probe_accelerator(timeout_s: int = 180) -> bool:
+def _probe_accelerator(timeout_s: int = 180, attempts: int = 3,
+                       retry_wait_s: int = 120) -> bool:
     """Check in a subprocess that the configured JAX backend can actually
     execute (a wedged TPU tunnel hangs instead of failing); on timeout,
-    fall back to CPU so the benchmark always reports a number."""
+    retry a few times — tunnel wedges are often transient — before
+    falling back to CPU so the benchmark always reports a number."""
     import subprocess
+    import time
     code = ("import jax, jax.numpy as jnp;"
             "x = jnp.ones((64, 64));"
             "print(float((x @ x).sum()))")
-    try:
-        out = subprocess.run([sys.executable, "-c", code],
-                             capture_output=True, timeout=timeout_s)
-        return out.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+    for attempt in range(attempts):
+        try:
+            out = subprocess.run([sys.executable, "-c", code],
+                                 capture_output=True, timeout=timeout_s)
+            if out.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if attempt + 1 < attempts:
+            sys.stderr.write(
+                f"bench: accelerator probe failed (attempt "
+                f"{attempt + 1}/{attempts}); retrying in "
+                f"{retry_wait_s}s\n")
+            time.sleep(retry_wait_s)
+    return False
 
 
 if __name__ == "__main__":
