@@ -187,9 +187,109 @@ def projection(n: int = 32, m: int = 12, batch: int = 0, seed: int = 0,
     return Family("projection", data, Settings(), n, m, 0)
 
 
+def elastic_net(n_features: int = 24, n_samples: int = 48,
+                lam1: float = 0.1, lam2: float = 0.05, batch: int = 0,
+                seed: int = 0, dtype=None) -> Family:
+    """Elastic-net regression as a nonnegative QP via variable splitting.
+
+        minimize_w  1/2 ||A w - y||^2 + lam1 ||w||_1 + lam2/2 ||w||^2
+
+    With w = u - v, u, v >= 0 the l1 term becomes linear and the QP is
+
+        minimize 1/2 [u; v]^T Q [u; v] + c^T [u; v],  0 <= u, v <= R
+
+    where Q = [[G+lam2 I, -G], [-G, G+lam2 I]], G = A^T A (lam2 > 0
+    keeps Q positive definite).  Classic ML training workload; large
+    batches of independent regularisation paths are the dp axis.
+    """
+    rng = _rng(seed)
+    shape = (batch,) if batch else ()
+    n = 2 * n_features
+    A = rng.normal(size=shape + (n_samples, n_features))
+    w_true = rng.normal(size=shape + (n_features,)) * \
+        (rng.uniform(size=shape + (n_features,)) < 0.3)
+    y = np.einsum("...ij,...j->...i", A, w_true) + \
+        0.01 * rng.normal(size=shape + (n_samples,))
+    G = np.einsum("...ji,...jk->...ik", A, A)
+    Aty = np.einsum("...ji,...j->...i", A, y)
+    eye = np.broadcast_to(np.eye(n_features), G.shape)
+    Q = np.concatenate([
+        np.concatenate([G + lam2 * eye, -G], axis=-1),
+        np.concatenate([-G, G + lam2 * eye], axis=-1)], axis=-2)
+    c = np.concatenate([lam1 - Aty, lam1 + Aty], axis=-1)
+    R = 10.0 * (1.0 + np.abs(w_true).max())
+    data = QPData.make(
+        Q=Q, c=c,
+        l_x=np.zeros(shape + (n,)), u_x=np.full(shape + (n,), R),
+        dtype=dtype)
+    return Family("elastic_net", data,
+                  Settings(inequalities=Bounds.NONE), n, 0, 0)
+
+
+def equality_qp(n: int = 24, m_eq: int = 6, batch: int = 0,
+                seed: int = 0, dtype=None) -> Family:
+    """Equality-constrained QP kept EXACT (EqualityHandling.NONE):
+
+        minimize 1/2 x^T Q x + c^T x   subject to   C x = d.
+
+    The augmented system is genuinely indefinite (zero dual diagonal) —
+    the reference hard-fails on this class (Optimizer.cpp:75); here it
+    exercises the signed-regularised LDL^T path (kernel='regldlt').
+    """
+    rng = _rng(seed)
+    shape = (batch,) if batch else ()
+    M = rng.normal(size=shape + (n, n))
+    Q = np.einsum("...ij,...kj->...ik", M, M) / n + \
+        np.broadcast_to(np.eye(n), shape + (n, n))
+    data = QPData.make(
+        Q=Q, c=rng.normal(size=shape + (n,)),
+        A_eq=rng.normal(size=shape + (m_eq, n)),
+        b_eq=rng.normal(size=shape + (m_eq,)), dtype=dtype)
+    settings = Settings(inequalities=Bounds.NONE,
+                        variable_bounds=Bounds.NONE, equalities=True,
+                        equality_handling=EqualityHandling.NONE)
+    return Family("equality_qp", data, settings, n, 0, m_eq)
+
+
+def arrow_chain(n: int = 96, bandwidth: int = 8, tip: int = 4,
+                batch: int = 0, seed: int = 0, dtype=None) -> Family:
+    """Chain of locally coupled variables plus a few global coupling
+    variables (banded+arrow Hessian) under box bounds — the workload
+    :class:`ipmzoo_tpu.models.arrow.ArrowIPM` factors in
+    O(n (b+t)^2) instead of the dense O(n^3).  Returned as dense QPData
+    for the generic solver; pair with ``ArrowQPData.from_dense`` (the
+    detector recovers the structure exactly) for the structured path.
+    """
+    rng = _rng(seed)
+    shape = (batch,) if batch else ()
+    nb = n - tip
+    Q = np.zeros(shape + (n, n))
+    for i in range(nb):
+        lo, hi = max(0, i - bandwidth), min(nb, i + bandwidth + 1)
+        Q[..., i, lo:hi] = rng.normal(size=shape + (hi - lo,)) * 0.1
+    Q = (Q + np.swapaxes(Q, -1, -2)) / 2
+    strip = rng.normal(size=shape + (tip, n)) * 0.1
+    Q[..., nb:, :] = strip
+    Q[..., :, nb:] = np.swapaxes(strip, -1, -2)
+    corner = Q[..., nb:, nb:]
+    Q[..., nb:, nb:] = (corner + np.swapaxes(corner, -1, -2)) / 2
+    Q += (2 * bandwidth + tip) * np.broadcast_to(np.eye(n), Q.shape)
+    data = QPData.make(
+        Q=Q, c=rng.normal(size=shape + (n,)) * 3,
+        l_x=np.full(shape + (n,), -1.0),
+        u_x=np.full(shape + (n,), 1.0), dtype=dtype)
+    return Family("arrow_chain", data,
+                  Settings(inequalities=Bounds.NONE,
+                           inequality_handling=InequalityHandling.SLACKS),
+                  n, 0, 0)
+
+
 FAMILIES = {
     "portfolio": portfolio,
     "mpc": mpc,
     "svm_dual": svm_dual,
     "projection": projection,
+    "elastic_net": elastic_net,
+    "equality_qp": equality_qp,
+    "arrow_chain": arrow_chain,
 }
