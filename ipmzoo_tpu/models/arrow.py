@@ -251,12 +251,32 @@ class ArrowIPM:
 
     # -- loop ----------------------------------------------------------------
 
-    def init_state(self, data: ArrowQPData) -> ArrowState:
+    def init_state(self, data: ArrowQPData,
+                   warm_start: Optional[dict] = None) -> ArrowState:
+        """Bound midpoints / ones, or a warm start (previous
+        ``ArrowSolveResult.variables``, in solver order): x is clipped
+        strictly inside the bounds, duals floored away from zero —
+        the same safeguards as :class:`CompiledIPM`."""
         dt = self.dtype
         data = self._cast(data)
         x = (0.5 * (data.l_x + data.u_x)).astype(dt)
         ones = jnp.ones(self.n, dt)
-        vars = (x, ones, ones)
+        vals = [x, ones, ones]
+        if warm_start is not None:
+            eps = 1e-2
+            names = ["x", "lambda_g", "lambda_h"]
+            for i, name in enumerate(names):
+                if name not in warm_start:
+                    continue
+                w = jnp.asarray(warm_start[name], dt)
+                if name == "x":
+                    span = data.u_x - data.l_x
+                    w = jnp.clip(w, data.l_x + eps * span,
+                                 data.u_x - eps * span)
+                else:
+                    w = jnp.maximum(w, eps)
+                vals[i] = w
+        vars = tuple(vals)
         residual, gap = self._metrics(data, vars)
         return ArrowState(vars=vars, mu=jnp.asarray(self.mu0, dt),
                           iteration=jnp.asarray(0, jnp.int32),
@@ -316,9 +336,10 @@ class ArrowIPM:
         inv[p] = np.arange(n_orig)
         return keep[..., inv]
 
-    def _solve_impl(self, data: ArrowQPData) -> ArrowSolveResult:
+    def _solve_impl(self, data: ArrowQPData,
+                    warm_start: Optional[dict] = None) -> ArrowSolveResult:
         data = self._cast(data)
-        state0 = self.init_state(data)
+        state0 = self.init_state(data, warm_start)
         tol = self.tol
 
         def _bad(s):
@@ -355,8 +376,15 @@ class ArrowIPM:
 
     # -- public ----------------------------------------------------------
 
-    def solve(self, data: ArrowQPData) -> ArrowSolveResult:
-        return self._solve_jit(data)
+    def solve(self, data: ArrowQPData,
+              warm_start: Optional[dict] = None) -> ArrowSolveResult:
+        """Solve one instance; ``warm_start`` takes a previous result's
+        ``variables`` dict (receding-horizon / homotopy pattern)."""
+        if warm_start is None:
+            return self._solve_jit(data)
+        if not hasattr(self, "_solve_warm_jit"):
+            self._solve_warm_jit = jax.jit(self._solve_impl)
+        return self._solve_warm_jit(data, warm_start)
 
     def solve_batch(self, data: ArrowQPData) -> ArrowSolveResult:
         if not hasattr(self, "_solve_batch_jit"):

@@ -202,3 +202,20 @@ class TestCyclicReduction:
             outs.append(np.concatenate([np.asarray(xb), np.asarray(xt)]))
         np.testing.assert_allclose(outs[0], outs[1], rtol=1e-11,
                                    atol=1e-11)
+
+
+def test_arrow_warm_start_reduces_iterations():
+    n, b, t = 61, 4, 3
+    Q, c, l, u = random_arrow_qp(n, b, t, seed=30, shuffle=False)
+    data, st, blk = ArrowQPData.from_dense(Q, c, l, u)
+    solver = ArrowIPM.for_data(data, structure=st)
+    cold = solver.solve(data)
+    assert bool(cold.converged)
+    # perturb the linear term slightly and re-solve warm
+    data2, _, _ = ArrowQPData.from_dense(Q, c * 1.01, l, u, structure=st)
+    warm = solver.solve(data2, warm_start=cold.variables)
+    cold2 = solver.solve(data2)
+    assert bool(warm.converged) and bool(cold2.converged)
+    assert int(warm.iterations) <= int(cold2.iterations)
+    np.testing.assert_allclose(np.asarray(warm.x), np.asarray(cold2.x),
+                               atol=1e-7)
