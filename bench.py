@@ -115,7 +115,7 @@ def bench_steps(data, backend):
         return lax.fori_loop(0, K, lambda i, s: stepv(s, data), state)
 
     state = jax.jit(jax.vmap(solver.init_state))(data)
-    t = measure_chain(k_steps, state, reps=(3, 9))
+    t = measure_chain(k_steps, state)
     label = (f"IPM iterations/s, {BATCH} batched QPs, vmapped step "
              f"(convergence-gated at {conv * 100:.2f}%, n={N}, "
              f"m={M_INEQ}, {backend})")

@@ -365,7 +365,11 @@ class FusedBatchedIPM(CompiledIPM):
         _, gap_aff = self._metrics_soa(tenv, bt)
         safe_gap = jnp.where(gap > 0, gap, 1.0)
         sigma = jnp.where(gap > 0, (gap_aff / safe_gap) ** 3, 0.0)
-        mu_new = (gap * sigma).astype(dt)
+        # dtype-tied mu floor, matching _step_impl (ipm.py): without it
+        # an f32 lane whose mu underflows overflows the barrier
+        # diagonals (~1/mu^2), goes NaN, and pins its tile at max_iter
+        mu_new = jnp.maximum(gap * sigma,
+                             jnp.asarray(self.mu_floor, dt)).astype(dt)
 
         cenv = self._residual_env_soa(env, mu_new, data_tvs=data_tvs,
                                       var_vals=var_vals,
@@ -610,41 +614,16 @@ class FusedBatchedIPM(CompiledIPM):
                                jnp.int32),
                            residual=s_state.residual, gap=s_state.gap)
         s_tol = jnp.full((cap,), self.tol, dt)
-        # early-exit while: instances the fused core already converged
-        # are frozen from step 0 (they were only gathered as static-
-        # shape padding); the loop ends when every straggler converges
-        # or diverges — typically ~12 Gondzio steps, not tail_iters.
-        stepv = jax.vmap(functools.partial(self._step_impl,
-                                           gondzio=tail_gondzio))
-
-        def mask_like(m, leaf):
-            return m.reshape(m.shape + (1,) * (leaf.ndim - 1))
-
-        def s_done(st):
-            return (st.residual < s_tol) & (st.gap < self.tol)
-
-        def cond(carry):
-            st, div, it = carry
-            frozen = s_was_conv | s_done(st) | div
-            return jnp.logical_and(it < tail_iters,
-                                   ~jnp.all(frozen))
-
-        def body(carry):
-            st, div, it = carry
-            frozen = s_was_conv | s_done(st) | div
-            new = stepv(st, s_data)
-            bad = (jnp.isnan(new.residual) | jnp.isinf(new.residual) |
-                   jnp.isnan(new.gap))
-            keep = frozen | bad
-            merged = jax.tree_util.tree_map(
-                lambda o, n_: jnp.where(mask_like(keep, n_), o, n_),
-                st, new)
-            return merged, div | (bad & ~frozen), it + 1
-
-        s_state, s_div, _ = jax.lax.while_loop(
-            cond, body, (s_state, jnp.zeros((cap,), bool),
-                         jnp.asarray(0, jnp.int32)))
-        s_conv = s_done(s_state) & ~s_div
+        # early-exit masked loop (shared with the XLA engines): instances
+        # the fused core already converged are frozen from step 0 (they
+        # were only gathered as static-shape padding); the loop ends when
+        # every straggler converges or diverges — typically ~12 Gondzio
+        # steps, not tail_iters.
+        s_state, s_div = self._masked_while(
+            s_state, s_data, s_was_conv, s_tol, tail_iters,
+            gondzio=tail_gondzio)
+        s_conv = ((s_state.residual < s_tol) & (s_state.gap < self.tol)
+                  & ~s_div)
         s_vars = jnp.concatenate(s_state.vars, axis=-1) \
             if len(s_state.vars) > 1 else s_state.vars[0]
 

@@ -1007,7 +1007,7 @@ class CompiledIPM:
             frozen = done | div
             new = stepv(st, data)
             bad = (jnp.isnan(new.residual) | jnp.isinf(new.residual) |
-                   jnp.isnan(new.gap))
+                   jnp.isnan(new.gap) | jnp.isinf(new.gap))
             keep = frozen | bad
             merged = jax.tree_util.tree_map(
                 lambda o, n_: jnp.where(mask_like(keep, n_), o, n_),
@@ -1015,6 +1015,44 @@ class CompiledIPM:
             return merged, div | (bad & ~frozen)
 
         return jax.lax.fori_loop(0, k, body, (state, diverged))
+
+    def _masked_while(self, state, data, frozen0, res_tol, max_steps: int,
+                      gondzio: Optional[int] = None):
+        """Early-exit variant of :meth:`_masked_steps`: iterates until
+        every instance is frozen (converged, diverged, or externally
+        frozen via ``frozen0``) or ``max_steps`` is reached.  Same
+        freeze/NaN-rollback semantics."""
+        stepv = jax.vmap(
+            functools.partial(self._step_impl, gondzio=gondzio))
+
+        def mask_like(m, leaf):
+            return m.reshape(m.shape + (1,) * (leaf.ndim - 1))
+
+        def done(st):
+            return (st.residual < res_tol) & (st.gap < self.tol)
+
+        def cond(carry):
+            st, div, it = carry
+            frozen = frozen0 | done(st) | div
+            return jnp.logical_and(it < max_steps, ~jnp.all(frozen))
+
+        def body(carry):
+            st, div, it = carry
+            frozen = frozen0 | done(st) | div
+            new = stepv(st, data)
+            bad = (jnp.isnan(new.residual) | jnp.isinf(new.residual) |
+                   jnp.isnan(new.gap) | jnp.isinf(new.gap))
+            keep = frozen | bad
+            merged = jax.tree_util.tree_map(
+                lambda o, n_: jnp.where(mask_like(keep, n_), o, n_),
+                st, new)
+            return merged, div | (bad & ~frozen), it + 1
+
+        state, diverged, _ = jax.lax.while_loop(
+            cond, body,
+            (state, jnp.zeros(res_tol.shape, bool),
+             jnp.asarray(0, jnp.int32)))
+        return state, diverged
 
     def _compact_impl(self, data: QPData, schedule, tail_gondzio,
                       tail_restart):
@@ -1062,7 +1100,11 @@ class CompiledIPM:
             cap = max(B // divisor, 1)
             done = (state.residual < res_tol) & (state.gap < self.tol)
             frozen = done | diverged
-            take = jnp.argsort(frozen)[:cap]     # actives first
+            # gather priority: actives first, then diverged (which get
+            # their Gondzio second chance), converged last as padding
+            priority = 2 * done.astype(jnp.int32) + \
+                (diverged & ~done).astype(jnp.int32)
+            take = jnp.argsort(priority)[:cap]
             sub = jax.tree_util.tree_map(lambda a: a[take],
                                          (state, data, diverged, res_tol))
             s_state, s_data, s_div, s_tol = sub
