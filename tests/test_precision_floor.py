@@ -76,3 +76,17 @@ class TestFloorTable:
         with zero rollbacks (the _conv_frac helper asserts no
         divergence on every row of the table)."""
         assert _conv_frac(jnp.float32, 1e-6, qp_batch, gondzio=2) == 1.0
+
+
+def test_fused_f32_reaches_1e6_no_rollbacks(qp_batch):
+    """The fused engine in f32 converges the whole batch at tol 1e-6
+    (the f32 floor) with the dtype-tied mu floor active — interpret
+    mode on CPU runs the identical kernel arithmetic."""
+    from ipmzoo_tpu.models.fused import FusedBatchedIPM
+    d = jax.tree_util.tree_map(lambda a: jnp.asarray(a, jnp.float32),
+                               qp_batch)
+    fused = FusedBatchedIPM(Settings(), n=N, m_ineq=M,
+                            dtype=jnp.float32, tol=1e-6, bt=16,
+                            max_iter=40)
+    out = fused.solve_fused_refined(d, tail_cap=16)
+    assert float(jnp.mean(out["converged"].astype(jnp.float64))) == 1.0
