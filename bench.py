@@ -155,16 +155,16 @@ def bench_fused(data, backend):
 
     fused = FusedBatchedIPM(Settings(), n=N, m_ineq=M_INEQ,
                             dtype=jnp.float32, tol=TOL, max_iter=30)
-    out = fused.solve_fused_refined(data)
+    out = fused.solve_fused_compact(data)
     conv = float(jnp.mean(out["converged"].astype(jnp.float32)))
     if conv < 0.999:
         raise RuntimeError(f"fused solver convergence too low: {conv}")
     iters = float(jnp.sum(out["iterations"]))
-    t = measure_call(lambda d: fused.solve_fused_refined(d), data)
+    t = measure_call(lambda d: fused.solve_fused_compact(d), data)
     label = (f"IPM iterations/s, {BATCH} batched QPs FULLY SOLVED to "
-             f"tol={TOL:g} in the fused Pallas engine + anti-cycling "
-             f"tail ({conv * 100:.2f}% converged, n={N}, m={M_INEQ}, "
-             f"{backend})")
+             f"tol={TOL:g} in the compaction-scheduled fused Pallas "
+             f"engine + anti-cycling tail ({conv * 100:.2f}% converged, "
+             f"n={N}, m={M_INEQ}, {backend})")
     return label, iters / t
 
 
