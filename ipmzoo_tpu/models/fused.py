@@ -53,64 +53,57 @@ def _ldlt_into_refs(K: jnp.ndarray, n: int, pivot_floor: float,
     """Factor K (N, N, BT) IN PLACE in scratch ref k_ref (L overwrites K
     column by column; D goes to d_ref).
 
-    Mosaic cannot lower dynamic_slice on *values*, so the sequential
-    column loop indexes VMEM scratch refs (which support dynamic
-    indexing) instead of carried arrays.  The in-place layout halves the
-    VMEM footprint, allowing larger batch tiles.  Column j of k_ref is
-    valid L for columns < j and untouched K for columns >= j; the masked
-    reads below never mix the two."""
+    n is static under jit, so the column loop is a PYTHON loop with
+    EXACT-width static slices: column j touches only the (N-j-1, j, BT)
+    already-factored panel, for the true triangular flop count
+    (sum_j (n-j) j = n^3/6 multiply-adds per lane) — the earlier
+    fori_loop version read the full (N, N, BT) buffer through masks
+    every column, 6x the vector work.  The in-place layout (L strictly
+    below the diagonal, untouched K at and above it) halves the VMEM
+    footprint; the upper triangle is never read."""
     N, _, BT = K.shape
     dt = K.dtype
-    row_ids = lax.broadcasted_iota(jnp.int32, (N, 1), 0)
     k_ref[...] = K
     d_ref[...] = jnp.ones((N, BT), dt)
 
-    def body(j, _):
-        mask_k = (row_ids < j).astype(dt)                   # (N, 1)
-        lj = k_ref[j, :, :] * mask_k                        # L[j, k<j]
-        w = lj * d_ref[...]
-        # s_i = sum_{k<j} L[i,k] L[j,k] D[k]; the k>=j columns of k_ref
-        # still hold K but w is zero there, so they contribute nothing
-        s = jnp.sum(k_ref[...] * w[None, :, :], axis=1)     # (N, BT)
-        Kj = k_ref[:, j, :]                                 # (N, BT)
+    for j in range(n):
+        if j == 0:
+            d = k_ref[0, 0, :]
+            d = jnp.where(d == 0, jnp.asarray(pivot_floor, dt), d)
+            d_ref[0, :] = d
+            if n > 1:
+                k_ref[1:n, 0, :] = k_ref[1:n, 0, :] / d[None, :]
+            continue
+        lj = k_ref[j, 0:j, :]                               # (j, BT)
+        w = lj * d_ref[0:j, :]
         d = k_ref[j, j, :] - jnp.sum(lj * w, axis=0)        # (BT,)
         d = jnp.where(d == 0, jnp.asarray(pivot_floor, dt), d)
-        col = (Kj - s) / d[None, :]
-        col = jnp.where(row_ids > j, col, 0.0)
-        col = col + (row_ids == j).astype(dt)               # unit diagonal
-        k_ref[:, j, :] = col
         d_ref[j, :] = d
-        return _
-
-    lax.fori_loop(0, n, body, 0)
+        if j + 1 < n:
+            # s_i = sum_{k<j} L[i,k] w_k for the rows below the pivot
+            s = jnp.sum(k_ref[j + 1:n, 0:j, :] * w[None, :, :],
+                        axis=1)                             # (n-j-1, BT)
+            k_ref[j + 1:n, j, :] = \
+                (k_ref[j + 1:n, j, :] - s) / d[None, :]
 
 
 def _solve_from_refs(l_ref, d_ref, x_ref, b: jnp.ndarray, n: int):
-    """Solve L D L^T x = b using factored scratch refs; returns x."""
+    """Solve L D L^T x = b using factored scratch refs; returns x.
+
+    Exact-width unrolled substitutions (see _ldlt_into_refs): the
+    forward sweep is column-oriented axpy (x[j+1:] -= L[j+1:, j] x[j]),
+    the backward sweep row-oriented reduce — sum_j j = n^2/2 multiply-
+    adds per lane each, no masks."""
     N, _, BT = l_ref.shape
-    dt = b.dtype
-    row_ids = lax.broadcasted_iota(jnp.int32, (N, 1), 0)
     x_ref[...] = b
 
-    def fwd(i, _):
-        mask = (row_ids < i).astype(dt)
-        li = l_ref[i, :, :]                                 # (N, BT)
-        s = jnp.sum(li * x_ref[...] * mask, axis=0)         # (BT,)
-        x_ref[i, :] = x_ref[i, :] - s
-        return _
-
-    lax.fori_loop(0, n, fwd, 0)
+    for j in range(n - 1):
+        x_ref[j + 1:n, :] = x_ref[j + 1:n, :] - \
+            l_ref[j + 1:n, j, :] * x_ref[j, :][None, :]
     x_ref[...] = x_ref[...] / d_ref[...]
-
-    def bwd(t, _):
-        i = n - 1 - t
-        mask = (row_ids > i).astype(dt)
-        col = l_ref[:, i, :]                                # (N, BT)
-        s = jnp.sum(col * x_ref[...] * mask, axis=0)
+    for i in range(n - 2, -1, -1):
+        s = jnp.sum(l_ref[i + 1:n, i, :] * x_ref[i + 1:n, :], axis=0)
         x_ref[i, :] = x_ref[i, :] - s
-        return _
-
-    lax.fori_loop(0, n, bwd, 0)
     return x_ref[...]
 
 
