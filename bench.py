@@ -41,7 +41,10 @@ BATCH = int(os.environ.get("BENCH_BATCH", 10240))
 N = int(os.environ.get("BENCH_N", 16))
 M_INEQ = int(os.environ.get("BENCH_M", 8))
 STEPS = int(os.environ.get("BENCH_STEPS", 10))
-TOL = float(os.environ.get("BENCH_TOL", 1e-5))
+# default tolerance = the pinned f32 convergence floor
+# (tests/test_precision_floor.py): the headline number is a full solve at
+# the tightest tolerance the working precision provably supports.
+TOL = float(os.environ.get("BENCH_TOL", 1e-6))
 
 
 def make_batch(batch, n, m, dtype):

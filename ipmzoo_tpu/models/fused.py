@@ -132,12 +132,16 @@ class FusedBatchedIPM(CompiledIPM):
     The factorisation runs IN PLACE in a single scratch buffer to keep
     VMEM headroom for larger batch tiles.
 
-    CAUTION: use batch sizes that are a multiple of ``bt``.  Aligned
-    batches ran ~100 calls cleanly on v5e; the padded-batch configuration
-    (B=10000 with bt=512) twice wedged a tunnelled-TPU device mid-run in
-    this environment (suspected toolchain issue — the same program is
-    exact in interpreter mode and on aligned batches).  solve_fused warns
-    when padding is required."""
+    Non-aligned batches are safe by construction: every public entry
+    replicate-pads the whole batch to a tile multiple BEFORE any kernel
+    or jit region and slices the results back, so the compiled device
+    program is always byte-identical to the validated aligned-batch
+    program.  (Historical note, round 2: an earlier version padded
+    per-array *inside* the traced region, and that configuration —
+    B=10000 with bt=512 — twice wedged a tunnelled-TPU device while the
+    same kernel was exact in interpreter mode and on aligned batches;
+    hoisting the padding out of the traced program removes the only
+    difference between the two programs.)"""
 
     def __init__(self, settings: Settings, n: int, m_ineq: int = 0,
                  m_eq: int = 0, *, bt: int = 512, interpret=None, **kw):
@@ -465,6 +469,22 @@ class FusedBatchedIPM(CompiledIPM):
 
     # -- public wrapper -------------------------------------------------
 
+    def _pad_batch(self, B: int, tree):
+        """Replicate-pad every leaf's batch axis to a multiple of the
+        tile size.  Replication (not zeros): zero instances fill their
+        lanes with NaN/inf during the solve and never converge, pinning
+        their tile at max_iter.  Called OUTSIDE any jit/kernel region so
+        the compiled solve program is the aligned-batch program."""
+        Bpad = _round_up(B, self.bt)
+
+        def pad(a):
+            a = jnp.asarray(a)
+            return jnp.concatenate(
+                [a, jnp.broadcast_to(a[-1:], (Bpad - B,) + a.shape[1:])],
+                axis=0)
+
+        return jax.tree_util.tree_map(pad, tree)
+
     def solve_fused(self, data: QPData, state=None, max_iter=None):
         """Solve a batch of QPs entirely inside one Pallas kernel.
 
@@ -472,33 +492,26 @@ class FusedBatchedIPM(CompiledIPM):
         (B, total), ``mu`` (B,) and ``iterations`` (B,) from a previous
         ``solve_fused`` result; the kernel resumes from it (compaction
         schedules gather unconverged instances and resume).
-        ``max_iter``: per-call override of the iteration budget."""
+        ``max_iter``: per-call override of the iteration budget.
+
+        Any batch size is accepted: non-aligned batches are replicate-
+        padded to a tile multiple up front (see :meth:`_pad_batch`) and
+        the results sliced back, so the kernel only ever runs the
+        aligned-batch program."""
         dt = self.dtype
         B = data.Q.shape[0]
         bt = self.bt
         max_iter = self.max_iter if max_iter is None else max_iter
-        Bpad = _round_up(B, bt)
-        if Bpad != B and not self.interpret:
-            import warnings
-            warnings.warn(
-                f"fused solve: batch {B} is not a multiple of the tile "
-                f"size {bt}; padding to {Bpad}. Prefer aligned batches — "
-                "see the class docstring for a TPU-environment caveat.",
-                stacklevel=2)
+        if B % bt:
+            data, state = self._pad_batch(B, (data, state))
+            out = self.solve_fused(data, state, max_iter)
+            return {k: v[:B] for k, v in out.items()}
 
         def to_soa(arr, dims):
-            # Pad the batch axis FIRST (leading axis), then transpose:
-            # transposing a non-lane-aligned batch is pathologically slow
-            # on TPU (measured 0.08 ms vs 31 ms for B=10000 -> lanes).
-            # Pad by REPLICATING the last instance, not with zeros — zero
-            # instances fill their lanes with NaN/inf during the solve and
-            # never converge, pinning their tile at max_iter.
-            a = jnp.asarray(arr, dt)
-            if Bpad != B:
-                a = jnp.concatenate(
-                    [a, jnp.broadcast_to(a[-1:], (Bpad - B,) + a.shape[1:])],
-                    axis=0)
-            return jnp.moveaxis(a, 0, -1)  # (..., Bpad)
+            # Transpose AFTER the (entry-level) padding: transposing a
+            # non-lane-aligned batch is pathologically slow on TPU
+            # (measured 0.08 ms vs 31 ms for B=10000 -> lanes).
+            return jnp.moveaxis(jnp.asarray(arr, dt), 0, -1)  # (..., B)
 
         arrays = []
         field_of = {
@@ -520,7 +533,7 @@ class FusedBatchedIPM(CompiledIPM):
             arrays.append(to_soa(state["iterations"].reshape(B, 1),
                                  ("s",)))
 
-        grid = (Bpad // bt,)
+        grid = (B // bt,)
 
         def spec(a):
             blk = a.shape[:-1] + (bt,)
@@ -531,12 +544,12 @@ class FusedBatchedIPM(CompiledIPM):
 
         in_specs = [spec(a) for a in arrays]
         out_shapes = (
-            jax.ShapeDtypeStruct((self.n, Bpad), dt),
-            jax.ShapeDtypeStruct((max(total, 1), Bpad), dt),
-            jax.ShapeDtypeStruct((1, Bpad), dt),
-            jax.ShapeDtypeStruct((1, Bpad), dt),
-            jax.ShapeDtypeStruct((1, Bpad), dt),
-            jax.ShapeDtypeStruct((1, Bpad), dt),
+            jax.ShapeDtypeStruct((self.n, B), dt),
+            jax.ShapeDtypeStruct((max(total, 1), B), dt),
+            jax.ShapeDtypeStruct((1, B), dt),
+            jax.ShapeDtypeStruct((1, B), dt),
+            jax.ShapeDtypeStruct((1, B), dt),
+            jax.ShapeDtypeStruct((1, B), dt),
         )
         out_specs = tuple(
             pl.BlockSpec(s.shape[:-1] + (bt,),
@@ -646,6 +659,13 @@ class FusedBatchedIPM(CompiledIPM):
         handful of instances plain Mehrotra cycles on are restarted
         under Gondzio correctors in one small batched solve, inside the
         same jit.  Converges the full batch at fused-engine speed."""
+        B = data.Q.shape[0]
+        if B % self.bt:
+            # pad BEFORE the jit so the traced program is the aligned one
+            data, = self._pad_batch(B, (data,))
+            out = self.solve_fused_refined(data, tail_cap, tail_iters,
+                                           tail_gondzio)
+            return {k: v[:B] for k, v in out.items()}
         key = (tail_cap, tail_iters, tail_gondzio)
         cache = getattr(self, "_refined_cache", None)
         if cache is None:
@@ -694,6 +714,12 @@ class FusedBatchedIPM(CompiledIPM):
         batch converges within ~9 iterations; stragglers resume in a
         1/8-size batch, then the anti-cycling tail handles cyclers."""
         B = data.Q.shape[0]
+        if B % self.bt:
+            # pad BEFORE the jit so the traced program is the aligned one
+            data, = self._pad_batch(B, (data,))
+            out = self.solve_fused_compact(data, schedule, tail_cap,
+                                           tail_iters, tail_gondzio)
+            return {k: v[:B] for k, v in out.items()}
         if schedule is None:
             if B <= 2 * self.bt:
                 schedule = [(self.max_iter, 1)]
