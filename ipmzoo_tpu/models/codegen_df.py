@@ -303,6 +303,29 @@ def as_vector_arr(v: DFTV, size: int) -> jnp.ndarray:
     return as_vector(v, size).val
 
 
+def as_block(v: DFTV, rows: int, cols: int):
+    """Materialise a cell value as a dense (rows, cols) pair of blocks
+    for two-float KKT assembly (mirrors codegen.as_block; used by the
+    two-float factorisation path, where the augmented system itself is
+    assembled and factored in pairs)."""
+    if v.tag == "matrix":
+        assert v.hi.shape == (rows, cols), (v.hi.shape, rows, cols)
+        return v.hi, v.lo
+    if v.tag == "diag":
+        assert rows == cols and v.hi.shape == (rows,)
+        return jnp.diag(v.hi), jnp.diag(v.lo)
+    if v.tag == "scalar":
+        assert rows == cols
+        eye = jnp.eye(rows, dtype=v.hi.dtype)
+        return v.hi * eye, v.lo * eye
+    if v.tag in ("vector", "rowvec"):
+        if cols == 1:
+            return v.hi.reshape(rows, 1), v.lo.reshape(rows, 1)
+        if rows == 1:
+            return v.hi.reshape(1, cols), v.lo.reshape(1, cols)
+    raise TypeError(f"cannot materialise {v.tag} as ({rows},{cols}) block")
+
+
 def norm2(pairs) -> jnp.ndarray:
     """||concat(pairs)||_2 with compensated accumulation; rounded."""
     acc = None

@@ -97,7 +97,9 @@ class CompiledIPM:
                  refine: int = 0, kernel: str = "auto",
                  scale_tol: bool = False, gondzio: int = 0,
                  mu_floor: float | str = "auto",
-                 hybrid_refine: bool = False, df_residuals: bool = False):
+                 hybrid_refine: bool = False, df_residuals: bool = False,
+                 two_float: bool = False, mesh=None,
+                 mesh_axis: str = "tp", panel: Optional[int] = None):
         self.settings = settings
         self.n, self.m_ineq, self.m_eq = n, m_ineq, m_eq
         self.dtype = dtype
@@ -122,17 +124,36 @@ class CompiledIPM:
         #: floors them; pair evaluation keeps their RELATIVE error small,
         #: giving f64-grade Newton right-hand sides and convergence
         #: metrics from f32 TPU arithmetic.  Factorisations stay f32.
+        #: run the ENTIRE solver pipeline in two-float (double-single)
+        #: pairs: iterates are stored as (hi, lo) pairs (stacked (2, n)
+        #: arrays), residuals/metrics/corrector run through codegen_df,
+        #: and the augmented system is assembled AND FACTORED in pairs
+        #: (ops/ldlt_df.py).  This removes both obstacles to 1e-8
+        #: convergence in f32: the factorisation's eps*cond(K) limit
+        #: (pair unit roundoff ~2^-48) and the iterate-representation
+        #: floor (an f32-rounded iterate cannot have residual below
+        #: ~eps_f32 * ||Q x||, so high-accuracy iterates must be pairs).
+        #: Gives reference-parity tol 1e-8
+        #: (/root/reference/src/NumericalOptimization/Optimizer.cpp:124,133)
+        #: from pure f32 TPU arithmetic; see tests/test_precision_floor.py.
+        self.two_float = two_float
+        if two_float:
+            if kernel not in ("auto", "ldlt"):
+                raise ValueError(
+                    "two_float=True factors in double-single pairs and "
+                    "supports kernel='auto'/'ldlt' only")
+            df_residuals = True
         self.df_residuals = df_residuals
         from . import codegen_df as cgdf_mod
         self._cgm = cgdf_mod if df_residuals else cg
 
         self._kernel_choice = kernel
         if kernel not in ("auto", "ldlt", "jnp", "block", "blockg", "lu",
-                          "regldlt", "normal"):
+                          "regldlt", "normal", "sharded"):
             raise ValueError(
                 f"unknown kernel={kernel!r}; expected one of "
                 "('auto', 'ldlt', 'jnp', 'block', 'blockg', 'lu', "
-                "'regldlt', 'normal')")
+                "'regldlt', 'normal', 'sharded')")
         if kernel == "normal" and df_residuals:
             raise NotImplementedError(
                 "kernel='normal' pre-binds dense-matrix inverses in working "
@@ -309,12 +330,38 @@ class CompiledIPM:
                        o.lambda_sxl, o.lambda_sxu}
         self.group_signs = tuple(
             -1.0 if v in dual_groups else 1.0 for v in self.aug.variables)
-        if self._indefinite:
+        if two_float:
+            # pair-assembled, pair-factored LDL^T; indefinite systems get
+            # the same signed proximal regularisation as 'regldlt', with
+            # pair-precision refinement against the true K
+            self._mode = "tf"
+        elif self._indefinite:
             self._mode = "lu" if kernel == "lu" else "regldlt"
         elif kernel == "lu":
             self._mode = "lu"
         elif kernel == "regldlt":
             self._mode = "regldlt"
+        elif kernel == "sharded":
+            # TP axis consumer: the ONE augmented KKT system is row-
+            # sharded over the mesh and factored cooperatively by the
+            # panel-sharded LDL^T (ops/sharded_ldlt.py) inside every
+            # Mehrotra iteration — the end-to-end solve for QPs whose
+            # KKT factorisation exceeds a single chip.  The system is
+            # identity-padded to a multiple of (devices * panel): an
+            # unpivoted LDL^T of blockdiag(K, I) factors the padding
+            # trivially, so the solution is unchanged and any aug_dim
+            # shards cleanly.
+            if mesh is None:
+                raise ValueError("kernel='sharded' requires mesh=")
+            self._mesh, self._mesh_axis = mesh, mesh_axis
+            ndev = mesh.shape[mesh_axis]
+            rpd0 = max(self.aug_dim // ndev, 1)
+            p = panel if panel is not None else min(128, rpd0)
+            chunk = ndev * p
+            self._sharded_panel = p
+            self._sharded_dim = ((self.aug_dim + chunk - 1)
+                                 // chunk) * chunk
+            self._mode = "sharded"
         elif kernel == "block":
             if not can_block:
                 raise ValueError("kernel='block' needs a 2x2 augmented "
@@ -442,6 +489,14 @@ class CompiledIPM:
         }
 
     def _env(self, data: QPData, var_vals, mu_val) -> cg.Env:
+        if self.two_float:
+            # the problem data is exact in working precision (lo = 0);
+            # the ITERATE carries genuine low words
+            from . import codegen_df as cgdf
+            env = cgdf.lift_env(self._base_env(data, mu_val))
+            for var, val in zip(self.full.variables, var_vals):
+                env[var] = cgdf.DFTV("vector", val[0], val[1])
+            return env
         env = self._base_env(data, mu_val)
         for var, val in zip(self.full.variables, var_vals):
             env[var] = cg.vector(val)
@@ -449,13 +504,46 @@ class CompiledIPM:
 
     def _lift(self, env: cg.Env):
         """Promote a working-precision env for the residual pipeline."""
-        if not self.df_residuals:
-            return env
+        if not self.df_residuals or self.two_float:
+            return env  # two-float envs are built lifted
         from . import codegen_df as cgdf
         return cgdf.lift_env(env)
 
     def _envm(self, data: QPData, var_vals, mu_val):
         return self._lift(self._env(data, var_vals, mu_val))
+
+    # --- two-float state helpers --------------------------------------
+    # State variables are plain (n,) arrays normally, stacked (2, n)
+    # (hi, lo) pairs under two_float.  These helpers keep the step/loop
+    # logic mode-agnostic.
+
+    def _var_val(self, v):
+        """Rounded working-precision value of a state variable/delta."""
+        return (v[0] + v[1]) if self.two_float else v
+
+    def _vec_tv(self, d):
+        """Bind a state-variable array as a codegen value."""
+        if self.two_float:
+            from . import codegen_df as cgdf
+            return cgdf.DFTV("vector", d[0], d[1])
+        return self._cgm.vector(d)
+
+    def _axpy(self, v, a, d):
+        """v + a * d (pair-exact under two_float; a is a plain scalar)."""
+        if not self.two_float:
+            return v + a * d
+        from ..ops.twofloat import df_add, df_mul
+        ah = jnp.asarray(a, self.dtype)
+        zero = jnp.zeros_like(ah)
+        s = df_add((v[0], v[1]), df_mul((ah, zero), (d[0], d[1])))
+        return jnp.stack(s)
+
+    def _dadd(self, a, b):
+        """a + b on state-variable arrays (pair-renormalising)."""
+        if not self.two_float:
+            return a + b
+        from ..ops.twofloat import df_add
+        return jnp.stack(df_add((a[0], a[1]), (b[0], b[1])))
 
     # ------------------------------------------------------------------
     # staged computations
@@ -543,6 +631,39 @@ class CompiledIPM:
                 for rb in blocks]
         return jnp.concatenate(rows, axis=0) if len(rows) > 1 else rows[0]
 
+    def _assemble_kkt_df(self, env):
+        """Two-float assembly of the consumed reduction: every cell is
+        evaluated as an (hi, lo) pair (codegen_df) so barrier diagonals
+        like lambda/s carry pair-relative accuracy into the
+        factorisation."""
+        from . import codegen_df as cgdf
+        memo = {}
+        rows_h, rows_l = [], []
+        for i, vi in enumerate(self.red.variables):
+            si = self.red_sizes[i]
+            rbh, rbl = [], []
+            for j, vj in enumerate(self.red.variables):
+                sj = self.red_sizes[j]
+                cell = self.red.lhs[i][j]
+                if cell is E.ZERO:
+                    z = jnp.zeros((si, sj), self.dtype)
+                    rbh.append(z)
+                    rbl.append(z)
+                else:
+                    bh, bl = cgdf.as_block(
+                        cgdf.evaluate(cell, env, memo), si, sj)
+                    rbh.append(bh)
+                    rbl.append(bl)
+            rows_h.append(jnp.concatenate(rbh, axis=1)
+                          if len(rbh) > 1 else rbh[0])
+            rows_l.append(jnp.concatenate(rbl, axis=1)
+                          if len(rbl) > 1 else rbl[0])
+        Kh = jnp.concatenate(rows_h, axis=0) if len(rows_h) > 1 \
+            else rows_h[0]
+        Kl = jnp.concatenate(rows_l, axis=0) if len(rows_l) > 1 \
+            else rows_l[0]
+        return Kh, Kl
+
     def _residual_fn(self, K):
         """b - K sol for refinement: plain, or two-float compensated."""
         if self.hybrid_refine:
@@ -553,6 +674,76 @@ class CompiledIPM:
     def _make_solve(self, env):
         """Factor the augmented KKT once; return solve(b) -> sol with
         optional iterative refinement baked in."""
+        if self._mode == "tf":
+            # double-single assembly + factorisation; solve consumes and
+            # returns (hi, lo) PAIRS.  Indefinite systems get the signed
+            # proximal regularisation of 'regldlt' (the pair analogue:
+            # delta ~ eps_pair^(2/3)) with pair refinement against the
+            # true K removing the perturbation.
+            from ..ops.ldlt_df import ldlt_df, solve_ldlt_df
+            from ..ops.twofloat import df_add, df_matvec, df_neg
+            Kh, Kl = self._assemble_kkt_df(env)
+            if self._indefinite:
+                eps_pair = 2.0 ** -48
+                scale = jnp.maximum(
+                    jnp.asarray(1.0, self.dtype),
+                    jnp.max(jnp.abs(jnp.diagonal(Kh))))
+                delta = jnp.asarray(eps_pair ** (2.0 / 3.0),
+                                    self.dtype) * scale
+                signs = jnp.asarray(self._sign_vec, self.dtype)
+                pert = jnp.diag(delta * signs)
+                Frh, Frl = df_add((Kh, Kl), (pert, jnp.zeros_like(pert)))
+                nref = max(self.refine, 3)
+            else:
+                Frh, Frl = Kh, Kl
+                nref = self.refine
+            Lh, Ll, Dh, Dl = ldlt_df(Frh, Frl, self.pivot_floor)
+
+            def solve(b):
+                bh, bl = b
+                if bh.shape[0] == 0:
+                    return b
+                sol = solve_ldlt_df(Lh, Ll, Dh, Dl, bh, bl)
+                for _ in range(nref):
+                    r = df_add((bh, bl),
+                               df_neg(df_matvec((Kh, Kl), sol)))
+                    c = solve_ldlt_df(Lh, Ll, Dh, Dl, r[0], r[1])
+                    sol = df_add(sol, c)
+                return sol
+
+            return solve
+
+        if self._mode == "sharded":
+            from ..ops.sharded_ldlt import sharded_ldlt, sharded_ldlt_solve
+            K = self._assemble_kkt(env)
+            dim, pdim = self.red_dim, self._sharded_dim
+            if pdim != dim:
+                Kp = jnp.eye(pdim, dtype=self.dtype).at[:dim, :dim].set(K)
+            else:
+                Kp = K
+            factors = sharded_ldlt(Kp, self._mesh, axis=self._mesh_axis,
+                                   panel=self._sharded_panel,
+                                   pivot_floor=self.pivot_floor)
+            resid = self._residual_fn(K)
+
+            def _one(r):
+                rp = (jnp.zeros((pdim,), self.dtype).at[:dim].set(r)
+                      if pdim != dim else r)
+                sol = sharded_ldlt_solve(factors, rp, self._mesh,
+                                         axis=self._mesh_axis,
+                                         panel=self._sharded_panel)
+                return sol[:dim]
+
+            def solve(b):
+                if b.shape[0] == 0:
+                    return b
+                sol = _one(b)
+                for _ in range(self.refine):
+                    sol = sol + _one(resid(b, sol))
+                return sol
+
+            return solve
+
         if self._mode == "lu":
             from jax.scipy.linalg import lu_factor, lu_solve
             K = self._assemble_kkt(env)
@@ -694,7 +885,7 @@ class CompiledIPM:
         corr_vals = None
         if affine_deltas is not None:
             corr_vals = {}
-            aff_point = tuple(v + d for v, d in
+            aff_point = tuple(self._dadd(v, d) for v, d in
                               zip(var_vals, affine_deltas))
             aenv = self._envm(data, aff_point, 0.0)
             benv = self._envm(data, var_vals, 0.0)
@@ -707,10 +898,10 @@ class CompiledIPM:
                 lin = None
                 for j, dj in enumerate(affine_deltas):
                     cell = self.full.lhs[i][j]
-                    if cell is E.ZERO or dj.shape[0] == 0:
+                    if cell is E.ZERO or dj.shape[-1] == 0:
                         continue
                     term = m.multiply_tv(m.evaluate(cell, env, jmemo),
-                                         m.vector(dj))
+                                         self._vec_tv(dj))
                     lin = term if lin is None else m.add_tv(lin, term)
                 corr = m.add_tv(c_shift, m.negate_tv(c_base))
                 if lin is not None:
@@ -732,6 +923,36 @@ class CompiledIPM:
         precision."""
         m = self._cgm
         memo = {}
+        if self.two_float:
+            from . import codegen_df as cgdf
+            parts = [m.as_vector(m.evaluate(r, renv, memo), sz)
+                     for r, sz in zip(self.red.rhs, self.red_sizes)]
+            if parts:
+                bh = jnp.concatenate([p.hi for p in parts])
+                bl = jnp.concatenate([p.lo for p in parts])
+            else:
+                bh = bl = jnp.zeros(0, self.dtype)
+            solh, soll = solve_fn((bh, bl))
+            deltas = [None] * len(self.full.variables)
+            denv = dict(renv)
+            offset = 0
+            for var, sz in zip(self.red.variables, self.red_sizes):
+                if sz:
+                    vh = jax.lax.dynamic_slice_in_dim(solh, offset, sz)
+                    vl = jax.lax.dynamic_slice_in_dim(soll, offset, sz)
+                else:
+                    vh = vl = jnp.zeros(0, self.dtype)
+                offset += sz
+                deltas[self.var_index[var]] = jnp.stack([vh, vl])
+                denv[delta_variable(var)] = cgdf.DFTV("vector", vh, vl)
+            memo2 = {}
+            for dvar, ddef in reversed(self.red.delta_definitions):
+                var = self.delta_to_var[dvar]
+                tv = m.as_vector(m.evaluate(ddef, denv, memo2),
+                                 self.size_of[var])
+                denv[dvar] = cgdf.DFTV("vector", tv.hi, tv.lo)
+                deltas[self.var_index[var]] = jnp.stack([tv.hi, tv.lo])
+            return deltas
         parts = [m.as_vector_arr(m.evaluate(r, renv, memo), sz)
                  for r, sz in zip(self.red.rhs, self.red_sizes)]
         b = (jnp.concatenate(parts) if parts
@@ -761,7 +982,7 @@ class CompiledIPM:
         alpha = jnp.asarray(1.0, dt)
         inf = jnp.asarray(jnp.inf, dt)
         for i in self.nonneg_idx:
-            v, d = var_vals[i], deltas[i]
+            v, d = self._var_val(var_vals[i]), self._var_val(deltas[i])
             if v.shape[0] == 0:
                 continue
             ratio = jnp.where(d < 0, -v / jnp.where(d < 0, d, -1.0), inf)
@@ -778,7 +999,8 @@ class CompiledIPM:
                                o.u_A_ineq if self.s_has_ub else None))
             for var, lb_sym, ub_sym in checks:
                 i = self.var_index[var]
-                v, d = var_vals[i], deltas[i]
+                v, d = self._var_val(var_vals[i]), \
+                    self._var_val(deltas[i])
                 if v.shape[0] == 0:
                     continue
                 if lb_sym is not None:
@@ -820,6 +1042,8 @@ class CompiledIPM:
                 vals.append(w)
             else:
                 vals.append(init.get(v, jnp.ones(sz, dt)))
+        if self.two_float:
+            vals = [jnp.stack([v, jnp.zeros_like(v)]) for v in vals]
         env0 = self._envm(data, vals, 0.0)
         residual, gap = self._metrics(env0)
         return IPMState(vars=tuple(vals), mu=jnp.asarray(self.mu0, dt),
@@ -838,7 +1062,8 @@ class CompiledIPM:
         m = self._cgm
         dt = self.dtype
         alpha_t = jnp.minimum(alpha + delta_alpha, 1.0)
-        trial = tuple(v + alpha_t * dv for v, dv in zip(var_vals, d))
+        trial = tuple(self._axpy(v, alpha_t, dv)
+                      for v, dv in zip(var_vals, d))
         tenv = self._envm(data, trial, 0.0)
 
         # residual-vector bindings: comp rows get (p - clip(p)), others 0
@@ -855,7 +1080,7 @@ class CompiledIPM:
                 genv[vec] = m.vector(jnp.zeros(sz, dt))
         dm = self._search_direction(solve_fn, genv)
 
-        d_new = tuple(dv + dmv for dv, dmv in zip(d, dm))
+        d_new = tuple(self._dadd(dv, dmv) for dv, dmv in zip(d, dm))
         alpha_new = self._max_step(env, var_vals, d_new)
         accept = alpha_new >= jnp.minimum(alpha + gamma * delta_alpha, 1.0)
         d_out = tuple(jnp.where(accept, dn, dv)
@@ -877,7 +1102,7 @@ class CompiledIPM:
         alpha_aff = self._max_step(env, state.vars, d_aff)
 
         # trial step -> mu_aff -> sigma
-        trial = tuple(v + alpha_aff * d
+        trial = tuple(self._axpy(v, alpha_aff, d)
                       for v, d in zip(state.vars, d_aff))
         tenv = self._envm(data, trial, 0.0)
         gap_aff = self._gap_only(tenv)
@@ -904,7 +1129,8 @@ class CompiledIPM:
                                               mu_new)
 
         step = self.fraction_to_boundary * alpha
-        new_vars = tuple(v + step * d for v, d in zip(state.vars, d_cc))
+        new_vars = tuple(self._axpy(v, step, d)
+                         for v, d in zip(state.vars, d_cc))
 
         nenv = self._envm(data, new_vars, 0.0)
         residual, new_gap = self._metrics(nenv)
@@ -945,11 +1171,13 @@ class CompiledIPM:
         state, step_diverged = jax.lax.while_loop(
             cond, body, (state0, jnp.asarray(False)))
         env = self._env(data, state.vars, state.mu)
-        f = cg.evaluate(self.objective_expr, env).val
-        x = state.vars[self.var_index[self.symbols.x]]
+        f = self._cgm.evaluate(self.objective_expr, env).val \
+            if self.two_float else cg.evaluate(self.objective_expr,
+                                               env).val
+        x = self._var_val(state.vars[self.var_index[self.symbols.x]])
         return SolveResult(
             x=x,
-            variables={v.name: val for v, val in
+            variables={v.name: self._var_val(val) for v, val in
                        zip(self.full.variables, state.vars)},
             objective=f,
             iterations=state.iteration,
@@ -1135,10 +1363,12 @@ class CompiledIPM:
 
         def finish(st, d, rtol, div):
             env = self._env(d, st.vars, st.mu)
-            f = cg.evaluate(self.objective_expr, env).val
+            f = self._cgm.evaluate(self.objective_expr, env).val \
+                if self.two_float else cg.evaluate(self.objective_expr,
+                                                   env).val
             return SolveResult(
-                x=st.vars[self.var_index[self.symbols.x]],
-                variables={v.name: val for v, val in
+                x=self._var_val(st.vars[self.var_index[self.symbols.x]]),
+                variables={v.name: self._var_val(val) for v, val in
                            zip(self.full.variables, st.vars)},
                 objective=f,
                 iterations=st.iteration,

@@ -70,6 +70,43 @@ def df_add(a, b):
     return quick_two_sum(s, e)
 
 
+def df_neg(a):
+    """Negate a (hi, lo) pair (exact)."""
+    return -a[0], -a[1]
+
+
+def df_mul(a, b):
+    """Multiply two (hi, lo) pairs -> normalised (hi, lo) pair."""
+    p, e = two_prod(a[0], b[0])
+    e = e + (a[0] * b[1] + a[1] * b[0])
+    return quick_two_sum(p, e)
+
+
+def df_recip(b):
+    """Pair reciprocal via one Newton step: y = y0 + y0 (1 - b y0).
+
+    No zero guard — callers on the factorisation path floor their
+    pivots first (the evaluator-level guard lives in
+    models/codegen_df.p_recip)."""
+    y0 = 1.0 / b[0]
+    y0p = (y0, jnp.zeros_like(y0))
+    one = (jnp.ones_like(y0), jnp.zeros_like(y0))
+    r = df_add(one, df_neg(df_mul(b, y0p)))
+    return df_add(y0p, df_mul(y0p, r))
+
+
+def df_div(a, b):
+    """Pair division a / b (relative error ~2 ulp of the pair format)."""
+    return df_mul(a, df_recip(b))
+
+
+def df_matvec(M, v):
+    """Pair (m, n) matrix @ pair (n,) vector -> (m,) pair, with exact
+    products and tree-fold accumulation."""
+    ph, pl = df_mul((M[0], M[1]), (v[0][None, :], v[1][None, :]))
+    return df_sum(ph, pl, axis=-1)
+
+
 def df_sum(hi, lo, axis=-1):
     """Tree-fold reduction of (hi, lo) pairs along ``axis``."""
     hi = jnp.moveaxis(hi, axis, -1)
