@@ -156,7 +156,11 @@ class ArrowIPM:
                  structure: Optional[ArrowStructure] = None,
                  dtype=jnp.float64, tol: float = 1e-8,
                  max_iter: int = 100,
-                 fraction_to_boundary: float = 0.995, mu0: float = 1.0):
+                 fraction_to_boundary: float = 0.995, mu0: float = 1.0,
+                 method: str = "auto"):
+        #: banded factor engine: "scan" | "cr" | "pl" | "auto"
+        #: (see ops/banded.py::arrow_factor)
+        self.method = method
         self.N, self.b, self.t = n_banded_blocks, block, tip
         self.n = n_banded_blocks * block + tip
         self.structure = structure
@@ -219,7 +223,7 @@ class ArrowIPM:
         D = data.D.at[:, idx, idx].add(w[:nb].reshape(self.N, self.b))
         tidx = jnp.arange(self.t)
         Ct = data.Ct.at[tidx, tidx].add(w[nb:]) if self.t else data.Ct
-        return arrow_factor(D, data.E, data.U, Ct)
+        return arrow_factor(D, data.E, data.U, Ct, method=self.method)
 
     def _direction(self, data, vars, factors, rx, cg, ch):
         x, lg, lh = vars

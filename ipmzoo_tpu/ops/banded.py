@@ -352,8 +352,21 @@ class ArrowFactors(NamedTuple):
 
 
 def _bsolve(fac, r):
+    from .cr_pallas import CRPLFactors, cr_solve_pallas
+    if isinstance(fac, CRPLFactors):
+        return cr_solve_pallas(fac, r)
     return cr_solve(fac, r) if isinstance(fac, CRFactors) else \
         bt_solve(fac, r)
+
+
+def _pl_fits(N: int, b: int) -> bool:
+    """Whole-reduction Pallas kernel VMEM estimate (ops/cr_pallas.py):
+    inputs + 3 per-level outputs + root must stay resident."""
+    W = 128
+    while W < N:
+        W *= 2
+    levels = W.bit_length() - 1
+    return (3 * levels + 6) * b * b * W * 4 <= 10 * 1024 * 1024
 
 
 def arrow_factor(D, E, U, Ctip, method: str = "auto") -> ArrowFactors:
@@ -362,12 +375,22 @@ def arrow_factor(D, E, U, Ctip, method: str = "auto") -> ArrowFactors:
 
     ``method``: "scan" (sequential stages — lowest flops), "cr" (cyclic
     reduction — log2(N) BATCHED levels, ~2x flops but a 6x shorter
-    latency chain: the TPU-right choice), or "auto" (cr for N >= 8)."""
+    latency chain), "pl" (the whole reduction fused into ONE Pallas
+    kernel, ops/cr_pallas.py — kills the remaining ~45-level-op latency
+    bound), or "auto" (pl on TPU when the reduction fits VMEM, else cr
+    for N >= 8)."""
     N, b = D.shape[0], D.shape[-1]
     t = Ctip.shape[0]
     if method == "auto":
-        method = "cr" if N >= 8 else "scan"
-    fac = cr_factor(D, E) if method == "cr" else bt_factor(D, E)
+        if jax.default_backend() == "tpu" and N >= 8 and _pl_fits(N, b):
+            method = "pl"
+        else:
+            method = "cr" if N >= 8 else "scan"
+    if method == "pl":
+        from .cr_pallas import cr_factor_pallas
+        fac = cr_factor_pallas(D, E)
+    else:
+        fac = cr_factor(D, E) if method == "cr" else bt_factor(D, E)
     if t == 0:
         return ArrowFactors(bt=fac, W=jnp.zeros((N, b, 0), D.dtype),
                             tip_chol=jnp.zeros((0, 0), D.dtype))
