@@ -228,12 +228,19 @@ def bench_arrow(backend):
     l = np.full(n, -1.0, np.float32)
     u = np.full(n, 1.0, np.float32)
 
-    # block >= bandwidth is free to choose: bigger blocks mean fewer
-    # sequential scan stages with larger (MXU-friendlier) tiles
-    block = int(os.environ.get("BENCH_ARROW_BLOCK", 128))
+    # block >= bandwidth is free to choose.  Default: the native
+    # bandwidth — the fused whole-reduction Pallas kernel (method
+    # 'pl', ops/cr_pallas.py) eliminates the per-level dispatch
+    # latency, so small blocks with many levels now win; the XLA 'cr'
+    # fallback preferred block=128 (fewer, fatter levels).
+    blk_env = int(os.environ.get("BENCH_ARROW_BLOCK", 0))
     data, st, blk = ArrowQPData.from_dense(Q, c, l, u, dtype=dt,
-                                           block=block)
-    solver = ArrowIPM.for_data(data, structure=st, dtype=dt, tol=1e-5)
+                                           block=blk_env or None)
+    method = os.environ.get("BENCH_ARROW_METHOD", "auto")
+    solver = ArrowIPM.for_data(data, structure=st, dtype=dt, tol=1e-5,
+                               method=method)
+    print(f"arrow: block={blk}, N={data.D.shape[0]}, method={method}",
+          file=sys.stderr)
     res = solver.solve(data)
     if not bool(res.converged):
         raise RuntimeError("arrow solver did not converge")
@@ -259,6 +266,140 @@ def bench_arrow(backend):
              f"{t_arrow * 1e3:.2f} ms vs {t_dense * 1e3:.1f} ms per "
              f"iteration)")
     return label, speedup, "x speedup"
+
+
+def bench_tf(data, backend):
+    """f32 two-float (double-single) pipeline: FULL batched solves at
+    the reference-parity tolerance 1e-8 — the BASELINE.md headline
+    target ("duality-gap parity <=1e-8, 1 TPU chip") from pure f32 TPU
+    arithmetic.  Iterates are (hi, lo) pairs and the augmented KKT is
+    assembled+factored in double-single (ops/ldlt_df.py); see the
+    pinned floor table in tests/test_precision_floor.py."""
+    import jax
+    import jax.numpy as jnp
+    from ipmzoo_tpu.utils.timing import measure_call
+
+    B = int(os.environ.get("BENCH_TF_B", 2048))
+    tol = float(os.environ.get("BENCH_TF_TOL", 1e-8))
+    sub = jax.tree_util.tree_map(lambda a: a[:B], data)
+    solver = _solver(tol=tol, two_float=True, max_iter=30)
+    res = solver.solve_batch_compact(sub)
+    conv = float(jnp.mean(res.converged.astype(jnp.float32)))
+    if conv < 0.99:
+        raise RuntimeError(f"two-float convergence too low: {conv}")
+    iters = float(jnp.sum(res.iterations.astype(jnp.float32)))
+    t = measure_call(solver.solve_batch_compact, sub)
+    label = (f"IPM iterations/s, {B} batched QPs FULLY SOLVED to the "
+             f"reference-parity tol={tol:g} in pure-f32 two-float "
+             f"arithmetic ({conv * 100:.2f}% converged, n={N}, "
+             f"m={M_INEQ}, {backend})")
+    return label, iters / t
+
+
+def bench_normal(backend):
+    """BASELINE config 3: normal-equations reduction with Mehrotra on
+    1k-variable dense QPs (kernel='normal' consumes the reduction the
+    reference derives but never solves,
+    /root/reference/src/SymbolicOptimization.cpp:465-478).
+
+    Per iteration the condensed path factors H (n^3/3), forms H^{-1}
+    (n^3 solve against I) and the m x m condensed system; the augmented
+    path factors the (n+m) KKT once.  Value = useful iterations/s over
+    fully solved instances; a same-instance kernel='block' comparison
+    goes to stderr."""
+    import jax.numpy as jnp
+    from ipmzoo_tpu.utils.timing import measure_call
+
+    n = int(os.environ.get("BENCH_NORMAL_N", 1024))
+    m = int(os.environ.get("BENCH_NORMAL_M", 128))
+    B = int(os.environ.get("BENCH_NORMAL_B", 8))
+    data = make_batch(B, n, m, jnp.float32)
+    tol = float(os.environ.get("BENCH_NORMAL_TOL", 1e-5))
+
+    def run(kernel):
+        from ipmzoo_tpu.formulations import Settings
+        from ipmzoo_tpu.models import CompiledIPM
+        s = CompiledIPM(Settings(), n=n, m_ineq=m, dtype=jnp.float32,
+                        tol=tol, kernel=kernel, scale_tol=True,
+                        gondzio=2)
+        res = s.solve_batch(data)
+        conv = float(jnp.mean(res.converged.astype(jnp.float32)))
+        iters = float(jnp.sum(res.iterations.astype(jnp.float32)))
+        t = measure_call(s.solve_batch, data)
+        return conv, iters, t
+
+    conv, iters, t = run("normal")
+    if conv < 0.99:
+        raise RuntimeError(f"normal-equations convergence too low: {conv}")
+    # per-iteration flops of the condensed path (factor H + explicit
+    # H^{-1} + condensed assembly/factor), for the GFLOP/s side-channel
+    it_flops = 2 * (n ** 3 / 3 + n ** 3 + n * n * m + m * m * n
+                    + m ** 3 / 3)
+    gflops = iters * it_flops / t / 1e9
+    try:
+        bconv, biters, bt = run("block")
+        print(f"normal vs block on the same {B} QPs (n={n}, m={m}): "
+              f"{iters / t:.0f} it/s vs {biters / bt:.0f} it/s "
+              f"({bconv * 100:.1f}% conv)", file=sys.stderr)
+    except Exception as e:          # comparison is informative only
+        print(f"block comparison failed: {e}", file=sys.stderr)
+    label = (f"IPM iterations/s, {B} dense QPs (n={n}, m={m}) FULLY "
+             f"SOLVED to rel tol={tol:g} via the normal-equations "
+             f"reduction, kernel='normal' ({conv * 100:.1f}% converged, "
+             f"~{gflops:.0f} GFLOP/s, {backend})")
+    return label, iters / t
+
+
+def bench_aug(backend):
+    """BASELINE config 2: equality+inequality QP through the augmented-
+    system reduction with iterative refinement (refine=2), fully solved
+    and convergence-gated."""
+    import jax.numpy as jnp
+    from ipmzoo_tpu.models import QPData
+    from ipmzoo_tpu.utils.timing import measure_call
+
+    n = int(os.environ.get("BENCH_AUG_N", 256))
+    m = int(os.environ.get("BENCH_AUG_M", 64))
+    me = int(os.environ.get("BENCH_AUG_ME", 32))
+    B = int(os.environ.get("BENCH_AUG_B", 64))
+    tol = float(os.environ.get("BENCH_AUG_TOL", 1e-5))
+    rng = np.random.default_rng(0)
+    Mx = rng.normal(size=(B, n, n)).astype(np.float32)
+    Q = np.einsum("bij,bkj->bik", Mx, Mx) / n + np.eye(n, dtype=np.float32)
+    x0 = rng.normal(size=(B, n)).astype(np.float32)
+    A_eq = rng.normal(size=(B, me, n)).astype(np.float32)
+    data = QPData(
+        Q=jnp.asarray(Q, jnp.float32),
+        c=jnp.asarray(rng.normal(size=(B, n)), jnp.float32),
+        A_ineq=jnp.asarray(rng.normal(size=(B, m, n)), jnp.float32),
+        l_A_ineq=jnp.asarray(-np.abs(rng.normal(size=(B, m))) - 1,
+                             jnp.float32),
+        u_A_ineq=jnp.asarray(np.abs(rng.normal(size=(B, m))) + 1,
+                             jnp.float32),
+        A_eq=jnp.asarray(A_eq),
+        # consistent equalities: b = A_eq x0 keeps the feasible set
+        # nonempty for every instance
+        b_eq=jnp.asarray(np.einsum("bmn,bn->bm", A_eq, x0)),
+        l_x=jnp.full((B, n), -5.0, jnp.float32),
+        u_x=jnp.full((B, n), 5.0, jnp.float32))
+
+    from ipmzoo_tpu.formulations import (EqualityHandling, Settings)
+    settings = Settings(equalities=True,
+                        equality_handling=EqualityHandling.REGULARIZATION)
+    from ipmzoo_tpu.models import CompiledIPM
+    s = CompiledIPM(settings, n=n, m_ineq=m, m_eq=me, dtype=jnp.float32,
+                    tol=tol, scale_tol=True, refine=2, gondzio=2)
+    res = s.solve_batch(data)
+    conv = float(jnp.mean(res.converged.astype(jnp.float32)))
+    if conv < 0.99:
+        raise RuntimeError(f"augmented-path convergence too low: {conv}")
+    iters = float(jnp.sum(res.iterations.astype(jnp.float32)))
+    t = measure_call(s.solve_batch, data)
+    label = (f"IPM iterations/s, {B} equality+inequality QPs (n={n}, "
+             f"m_ineq={m}, m_eq={me}) FULLY SOLVED to rel tol={tol:g} "
+             f"via the augmented system + iterative refinement "
+             f"(refine=2, {conv * 100:.1f}% converged, {backend})")
+    return label, iters / t
 
 
 def bench_kkt(data, backend):
@@ -331,6 +472,12 @@ def main(force_cpu: bool = False):
         # single-core on this host (n=48 dense, its LinearSolvers
         # driven by a timing harness)
         baseline = 2.88
+    elif mode == "tf":
+        label, value = bench_tf(data, backend)
+    elif mode == "normal":
+        label, value = bench_normal(backend)
+    elif mode == "aug":
+        label, value = bench_aug(backend)
     elif mode == "steps":
         label, value = bench_steps(data, backend)
     else:
@@ -413,7 +560,10 @@ if __name__ == "__main__":
     # fails) can never take the benchmark down.
     explicit = os.environ.get("BENCH_MODE")
     if explicit:
-        rec = _run_engine(explicit, timeout_s=540)
+        # heavier engines (two-float compiles ~minutes) get more room
+        rec = _run_engine(explicit,
+                          timeout_s=int(os.environ.get("BENCH_TIMEOUT",
+                                                       1200)))
         if rec is not None:
             print(json.dumps(rec))
             sys.exit(0)

@@ -105,6 +105,21 @@ def test_normal_vmaps():
                                atol=1e-6)
 
 
+@pytest.mark.slow
+def test_normal_1k_variable_qp():
+    """BASELINE config 3 size class (VERDICT r2 task 3): kernel='normal'
+    converges on a 1k-variable dense QP — the size the reduction exists
+    for (condensed system is m x m instead of (n+m) x (n+m))."""
+    n, m = 1024, 64
+    d = random_data(n, m, seed=7)
+    ne = CompiledIPM(Settings(), n=n, m_ineq=m, kernel="normal",
+                     gondzio=2, scale_tol=True)
+    r = ne.solve(d)
+    assert bool(r.converged)
+    assert float(r.gap) < 1e-8
+    assert ne.red_dim == m
+
+
 def test_unknown_kernel_rejected():
     with pytest.raises(ValueError, match="unknown kernel"):
         CompiledIPM(Settings(), n=2, m_ineq=1, kernel="blokg")
