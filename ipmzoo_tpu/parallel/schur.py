@@ -44,7 +44,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.ldlt import cholesky_solve
+from ..ops.ldlt import PIVOT_FLOOR, batched_ldlt, ldlt, solve_ldlt
 
 
 @jax.tree_util.register_pytree_node_class
@@ -105,7 +105,8 @@ class SchurIPM:
     def __init__(self, n: int, m_c: int, *, mesh: Optional[Mesh] = None,
                  axis: str = "dp", dtype=jnp.float64, tol: float = 1e-8,
                  max_iter: int = 100, fraction_to_boundary: float = 0.995,
-                 delta: float = 1e-8):
+                 delta: float = 1e-8, pivot_floor: float = PIVOT_FLOOR,
+                 refine: int = 1):
         self.n, self.m_c = n, m_c
         self.mesh, self.axis = mesh, axis
         self.dtype = dtype
@@ -113,6 +114,19 @@ class SchurIPM:
         self.max_iter = max_iter
         self.ftb = fraction_to_boundary
         self.delta = delta
+        #: zero-pivot floor for BOTH factorisations each iteration — the
+        #: local H_b = Q_b + barrier LDL^T and the coupling Schur system
+        #: S (the same quasi-definite regularisation every other solver
+        #: in the framework uses; ops/ldlt.py).
+        self.pivot_floor = pivot_floor
+        #: iterative-refinement sweeps on the coupling solve: S is formed
+        #: from H^{-1} products, so it carries the squared conditioning of
+        #: the worst block; refinement against the ASSEMBLED S recovers
+        #: the lost digits for one extra (m_c x m_c) matvec per sweep.
+        self.refine = refine
+        #: dtype-tied mu floor (same invariant as CompiledIPM, ipm.py):
+        #: a lane whose mu underflows overflows the barrier diagonals.
+        self.mu_floor = float(jnp.finfo(dtype).eps) ** 2
 
     # -- local (per-shard) pieces; `axis_name` is bound under shard_map --
 
@@ -134,19 +148,23 @@ class SchurIPM:
             dx_aff, dzl_aff, dzu_aff = corr
             r_l = r_l + dx_aff * dzl_aff          # ds_l = dx
             r_u = r_u + (-dx_aff) * dzu_aff       # ds_u = -dx
-        # condensed: H dx = r_x - F^T dnu
+        # condensed: H dx = r_x - F^T dnu.  H is SPD in exact arithmetic
+        # but near-active bounds push barrier diagonals to ~1/mu — a
+        # pivot-floored LDL^T (the framework's standard quasi-definite
+        # regularisation, ops/ldlt.py) keeps degenerate pivots bounded
+        # where a bare Cholesky would produce NaN columns.
         H = data.Q + _diag_embed(st.z_l / st.s_l + st.z_u / st.s_u)
         r_x = -grad - r_l / st.s_l + r_u / st.s_u
-        Lc = jnp.linalg.cholesky(H)
-        Hinv_rx = _chol_solve_batched(Lc, r_x)
-        Hinv_FT = _chol_solve_batched_mat(Lc, jnp.swapaxes(data.F, 1, 2))
+        Lf, Df = batched_ldlt(H, self.pivot_floor)
+        Hinv_rx = _ldlt_solve_batched(Lf, Df, r_x)
+        Hinv_FT = _ldlt_solve_batched_mat(Lf, Df, jnp.swapaxes(data.F, 1, 2))
         S_local = jnp.einsum("bij,bjk->ik", data.F, Hinv_FT)
         rS_local = jnp.einsum("bij,bj->i", data.F, Hinv_rx)
-        return S_local, rS_local, (Lc, r_x, Hinv_rx, Hinv_FT, r_l, r_u)
+        return S_local, rS_local, ((Lf, Df), r_x, Hinv_rx, Hinv_FT, r_l, r_u)
 
     def _direction(self, data, st, pieces, dnu):
         """Back-substitute the block directions given the coupling dir."""
-        Lc, r_x, Hinv_rx, Hinv_FT, r_l, r_u = pieces
+        _, r_x, Hinv_rx, Hinv_FT, r_l, r_u = pieces
         dx = Hinv_rx - jnp.einsum("bij,j->bi", Hinv_FT, dnu)
         ds_l = dx
         ds_u = -dx
@@ -192,7 +210,20 @@ class SchurIPM:
         r_c = self._psum(jnp.einsum("bij,bj->i", data.F, st.x),
                          axis_name) - data.g
         rS = self._psum(rS_l, axis_name) if axis_name else rS_l
-        dnu = cholesky_solve(S, rS + r_c)
+
+        # one pivot-floored factorisation of the coupling system, reused
+        # by predictor and corrector, with iterative refinement: S carries
+        # the squared conditioning of the worst H_b block, and each sweep
+        # costs one (m_c x m_c) matvec + two triangular solves.
+        Ls, Ds = ldlt(S, self.pivot_floor)
+
+        def solve_S(rhs):
+            x = solve_ldlt(Ls, Ds, rhs)
+            for _ in range(self.refine):
+                x = x + solve_ldlt(Ls, Ds, rhs - S @ x)
+            return x
+
+        dnu = solve_S(rS + r_c)
         d_aff = self._direction(data, st, pieces, dnu)
         alpha_aff = self._max_step(st, d_aff)
         if axis_name is not None:
@@ -209,13 +240,13 @@ class SchurIPM:
         mu_aff = mu_aff_sum / count
         sigma = jnp.where(mu > 0, (mu_aff / jnp.where(mu > 0, mu, 1.0)) ** 3,
                           0.0)
-        mu_new = sigma * mu
+        mu_new = jnp.maximum(sigma * mu, jnp.asarray(self.mu_floor, dt))
 
         # -- corrector (same factorisation; Mehrotra correction terms) --
         S_l2, rS_l2, pieces2 = self._local_newton(
             data, st, mu_new, corr=(dx, dzl, dzu))
         rS2 = self._psum(rS_l2, axis_name) if axis_name else rS_l2
-        dnu2 = cholesky_solve(S, rS2 + r_c)
+        dnu2 = solve_S(rS2 + r_c)
         d = self._direction(data, st, pieces2, dnu2)
         alpha = self._max_step(st, d)
         if axis_name is not None:
@@ -304,13 +335,22 @@ def _diag_embed(v: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("bi,ij->bij", v, jnp.eye(v.shape[-1], dtype=v.dtype))
 
 
-def _chol_solve_batched(L: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    from jax.scipy.linalg import solve_triangular
-    y = jax.vmap(lambda Li, bi: solve_triangular(Li, bi, lower=True))(L, b)
-    return jax.vmap(lambda Li, yi: solve_triangular(Li.T, yi, lower=False))(L, y)
+def _ldlt_solve_batched(L: jnp.ndarray, D: jnp.ndarray,
+                        b: jnp.ndarray) -> jnp.ndarray:
+    """(B, n, n) factors x (B, n) rhs."""
+    return jax.vmap(solve_ldlt)(L, D, b)
 
 
-def _chol_solve_batched_mat(L: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+def _ldlt_solve_batched_mat(L: jnp.ndarray, D: jnp.ndarray,
+                            B: jnp.ndarray) -> jnp.ndarray:
+    """(B, n, n) factors x (B, n, k) multi-rhs (solve_ldlt's diagonal
+    scale broadcasts over the trailing axis only for vector rhs, so the
+    matrix case divides explicitly)."""
     from jax.scipy.linalg import solve_triangular
-    y = jax.vmap(lambda Li, Bi: solve_triangular(Li, Bi, lower=True))(L, B)
-    return jax.vmap(lambda Li, yi: solve_triangular(Li.T, yi, lower=False))(L, y)
+
+    def one(Li, Di, Bi):
+        y = solve_triangular(Li, Bi, lower=True, unit_diagonal=True)
+        z = y / Di[:, None]
+        return solve_triangular(Li.T, z, lower=False, unit_diagonal=True)
+
+    return jax.vmap(one)(L, D, B)
