@@ -99,7 +99,8 @@ class CompiledIPM:
                  mu_floor: float | str = "auto",
                  hybrid_refine: bool = False, df_residuals: bool = False,
                  two_float: bool = False, mesh=None,
-                 mesh_axis: str = "tp", panel: Optional[int] = None):
+                 mesh_axis: str = "tp", panel: Optional[int] = None,
+                 nd_pattern=None, nd_leaf: int = 32):
         self.settings = settings
         self.n, self.m_ineq, self.m_eq = n, m_ineq, m_eq
         self.dtype = dtype
@@ -149,11 +150,11 @@ class CompiledIPM:
 
         self._kernel_choice = kernel
         if kernel not in ("auto", "ldlt", "jnp", "block", "blockg", "lu",
-                          "regldlt", "normal", "sharded"):
+                          "regldlt", "normal", "sharded", "nd"):
             raise ValueError(
                 f"unknown kernel={kernel!r}; expected one of "
                 "('auto', 'ldlt', 'jnp', 'block', 'blockg', 'lu', "
-                "'regldlt', 'normal', 'sharded')")
+                "'regldlt', 'normal', 'sharded', 'nd')")
         if kernel == "normal" and df_residuals:
             raise NotImplementedError(
                 "kernel='normal' pre-binds dense-matrix inverses in working "
@@ -362,6 +363,23 @@ class CompiledIPM:
             self._sharded_dim = ((self.aug_dim + chunk - 1)
                                  // chunk) * chunk
             self._mode = "sharded"
+        elif kernel == "nd":
+            # General-sparsity path: nested-dissection block elimination
+            # of the augmented KKT (ops/ndiss.py).  The dissection plan
+            # (separator tree, elimination order, fill, padding) is built
+            # on the HOST from the KKT sparsity pattern; the device
+            # program is O(log n) levels of batched dense block ops.
+            # The pattern is static problem structure: pass it as
+            # nd_pattern, or leave None and the first solve derives it
+            # from the data (assembling one KKT eagerly).
+            self._mode = "nd"
+            self._nd_leaf = nd_leaf
+            if nd_pattern is not None:
+                from ..ops.ndiss import nd_plan
+                self._nd_plan = nd_plan(np.asarray(nd_pattern),
+                                        leaf=nd_leaf)
+            else:
+                self._nd_plan = None
         elif kernel == "block":
             if not can_block:
                 raise ValueError("kernel='block' needs a 2x2 augmented "
@@ -846,6 +864,28 @@ class CompiledIPM:
 
             return solve
 
+        if self._mode == "nd":
+            from ..ops.ndiss import nd_factor, nd_solve
+            if self._nd_plan is None:
+                raise RuntimeError(
+                    "kernel='nd' has no dissection plan; pass nd_pattern= "
+                    "to the constructor or call solve()/solve_batch() "
+                    "(which derive it from the data) before step()")
+            K = self._assemble_kkt(env)
+            factors = nd_factor(K, self._nd_plan, self.pivot_floor)
+            resid = self._residual_fn(K)
+            plan = self._nd_plan
+
+            def solve(b):
+                if b.shape[0] == 0:
+                    return b
+                sol = nd_solve(plan, factors, b)
+                for _ in range(self.refine):
+                    sol = sol + nd_solve(plan, factors, resid(b, sol))
+                return sol
+
+            return solve
+
         if self._mode == "normal":
             # bind H^{-1} first (mutates env: the residual/corrector envs
             # derive from this env by dict copy, so the binding propagates
@@ -1191,12 +1231,30 @@ class CompiledIPM:
     # public API
     # ------------------------------------------------------------------
 
+    def _ensure_nd_plan(self, data: QPData) -> None:
+        """Derive the nested-dissection plan from the data's sparsity
+        (kernel='nd' with no explicit nd_pattern): assemble ONE KKT
+        matrix eagerly at the initial iterate and dissect its nonzero
+        pattern.  Barrier terms only touch diagonal blocks, so the
+        pattern is iteration-invariant; the plan is cached and baked
+        into the jitted solve as constants."""
+        if self._mode != "nd" or self._nd_plan is not None:
+            return
+        from ..ops.ndiss import nd_plan
+        if jnp.asarray(data.Q).ndim == 3:      # batched: structure from
+            data = jax.tree_util.tree_map(lambda a: a[0], data)  # inst. 0
+        state = self.init_state(data)
+        env = self._env(data, state.vars, jnp.asarray(self.mu0, self.dtype))
+        K = np.asarray(self._assemble_kkt(env))
+        self._nd_plan = nd_plan(K != 0, leaf=self._nd_leaf)
+
     def solve(self, data: QPData,
               warm_start: Optional[dict] = None) -> SolveResult:
         """Solve one QP instance (jitted; first call compiles).
 
         ``warm_start``: optional dict of variable name -> initial value
         (e.g. a previous ``SolveResult.variables``)."""
+        self._ensure_nd_plan(data)
         if warm_start is None:
             return self._solve_jit(data)
         if not hasattr(self, "_solve_warm_jit"):
@@ -1209,6 +1267,7 @@ class CompiledIPM:
 
     def solve_batch(self, data: QPData) -> SolveResult:
         """Solve a batch of QPs (leading batch axis on every leaf)."""
+        self._ensure_nd_plan(data)
         if not hasattr(self, "_solve_batch_jit"):
             self._solve_batch_jit = jax.jit(jax.vmap(self._solve_impl))
         return self._solve_batch_jit(data)
