@@ -341,12 +341,15 @@ class FusedBatchedIPM(CompiledIPM):
 
     # -- the fused step + loop -----------------------------------------
 
-    def _fused_step(self, data_tvs, var_vals, mu, bt, scratch):
+    def _fused_step(self, data_tvs, var_vals, mu, bt, scratch, gap):
+        # ``gap`` is the duality gap AT var_vals, threaded through the
+        # while-loop carry: the end-of-iteration metrics of step i are
+        # bitwise the start-of-step metrics of step i+1, so recomputing
+        # them here would be a third full _metrics_soa per iteration
+        # (measured: evaluation is ~62% of the fused iteration,
+        # tools/roofline.py).
         dt = self.dtype
         env = self._env_soa(data_tvs, var_vals, mu)
-        env0 = dict(env)
-        env0[self.symbols.mu] = soa.scalar(jnp.zeros((1, bt), dt))
-        _, gap = self._metrics_soa(env0, bt)
 
         K = self._assemble_soa(env, bt)
         k_ref, d_ref, x_ref = scratch
@@ -440,7 +443,7 @@ class FusedBatchedIPM(CompiledIPM):
             var_vals, mu, residual, gap, done_f, iters, it = carry
             done = done_f > 0.5
             new_vars, mu_new = self._fused_step(data_tvs, var_vals, mu, bt,
-                                                scratch)
+                                                scratch, gap)
             # freeze converged instances
             new_vars = tuple(jnp.where(done, v, nv)
                              for v, nv in zip(var_vals, new_vars))
