@@ -16,15 +16,19 @@ These kernels run the ENTIRE reduction — every level — inside one
   LANE axis, block rows are sublanes.  Every block operation (Cholesky,
   triangular inverse, b x b matmul) becomes an unrolled chain of
   (b, N)-shaped VPU ops, batched over all N lanes at once.
-* levels: a static Python loop (log2(N) <= 8 for the target shapes).
-  Each level eliminates the odd blocks of its stride; neighbours are
-  aligned with LANE ROLLS (`jnp.roll` on the last axis) instead of
-  gathers — no dynamic slicing, no batched dot_general (both Mosaic
-  gotchas; see CLAUDE.md).
+* levels: ONE ``lax.fori_loop`` whose trip index is the level — the
+  level stride enters only through dynamic ``pltpu.roll`` shifts,
+  iota masks, and dynamic-indexed stores/loads of the per-level factor
+  slabs, so the compiled kernel holds a single level body (~8k Mosaic
+  ops) instead of levels x that.  (The first version unrolled all the
+  levels: ~100k ops in one kernel, a Mosaic compile that never finished
+  on hardware — and killing it mid-compile wedges the TPU tunnel.)
 * masked redundant compute: every lane computes every level; dead lanes
   hold garbage that is never read (all roll sources are live lanes by
   induction), and the Cholesky input is substituted with the identity
   off the live-odd mask so no NaN/overflow can form.
+* block primitives build rows/columns as Python lists and ``stack``
+  once — no ``.at[].set`` scatters inside the hot loops.
 
 Eliminating the odd blocks of an SPD block-tridiagonal matrix is a
 symmetrically permuted block Cholesky, so SPD is preserved level to
@@ -45,6 +49,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -68,113 +73,128 @@ def _pow2_at_least(n: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _chol(P, b):
-    """Lower Cholesky of a (b, b, W) lane-batch of SPD blocks.
-    Returns (L, inv_diag) with L strictly-lower+diag rows as a list of
-    (b, W) arrays indexed [row][col] implicitly via array ops."""
-    L = jnp.zeros_like(P)
-    inv_d = []
+def _chol_cols(P, b):
+    """Lower Cholesky of a (b, b, W) lane-batch of SPD blocks, as a list
+    of (b, W) columns (rows above the diagonal hold garbage that is
+    never read) plus the inverse diagonal."""
+    cols, inv_d = [], []
     for j in range(b):
         acc = P[j, j, :]
         for k in range(j):
-            acc = acc - L[j, k, :] * L[j, k, :]
+            acc = acc - cols[k][j, :] * cols[k][j, :]
         d = jnp.sqrt(acc)
         idj = 1.0 / d
         inv_d.append(idj)
         col = P[:, j, :]
         for k in range(j):
-            col = col - L[:, k, :] * L[j, k, :][None, :]
-        col = col * idj[None, :]
-        # keep rows >= j only (strictly upper stays zero)
-        keep = jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0) >= j
-        L = L.at[:, j, :].set(jnp.where(keep, col, 0.0))
-    return L, inv_d
+            col = col - cols[k] * cols[k][j, :][None, :]
+        cols.append(col * idj[None, :])
+    return cols, inv_d
 
 
 def _chol_inv(P, b):
     """Explicit inverse of a lane-batch of SPD blocks via Cholesky:
     Pinv = Linv^T Linv.  Returns (b, b, W)."""
-    L, inv_d = _chol(P, b)
-    # forward-substitute the identity: X[i] = (e_i - sum_{k<i} L[i,k] X[k]) / L[i,i]
+    cols, inv_d = _chol_cols(P, b)
+    # forward-substitute the identity:
+    # X[i] = (e_i - sum_{k<i} L[i,k] X[k]) / L[i,i];  X[i] is row i of
+    # Linv as a (b, W) array (its cols j > i are garbage, never read:
+    # row i of Linv has support only on j <= i, and e_i contributes 0
+    # beyond i).
     rows = []
     for i in range(b):
-        e = jnp.zeros_like(P[0])            # (b, W)
-        e = e.at[i, :].set(1.0)
-        acc = e
+        acc = None
         for k in range(i):
-            acc = acc - L[i, k, :][None, :] * rows[k]
+            t = cols[k][i, :][None, :] * rows[k]
+            acc = t if acc is None else acc + t
+        e = jnp.zeros_like(P[0]).at[i, :].set(1.0)
+        acc = e if acc is None else e - acc
         rows.append(acc * inv_d[i][None, :])
-    X = jnp.stack(rows, axis=0)             # (b_row_of_Linv, b_col, W)
-    # Pinv[i,j] = sum_k Linv[k,i] Linv[k,j]
-    Pinv = jnp.zeros_like(P)
+    # Pinv[i,j] = sum_k Linv[k,i] Linv[k,j]; mask row k of Linv to its
+    # valid support j <= k before the rank-1 accumulation
+    iot = lax.broadcasted_iota(jnp.int32, (b, 1), 0)
+    Pinv = None
     for k in range(b):
-        Pinv = Pinv + X[k, :, None, :] * X[k, None, :, :]
+        xk = jnp.where(iot <= k, rows[k], 0.0)
+        t = xk[:, None, :] * xk[None, :, :]
+        Pinv = t if Pinv is None else Pinv + t
     return Pinv
 
 
 def _mm(A, B, b, ta=False, tb=False):
     """(b, b, W) lane-batched matmul with optional transposes."""
-    C = jnp.zeros_like(A)
+    out_rows = []
     for i in range(b):
-        acc = jnp.zeros_like(A[0])          # (b, W) row i of C, cols on axis 0
+        acc = None
         for j in range(b):
             a = A[j, i, :] if ta else A[i, j, :]
             brow = B[:, j, :] if tb else B[j, :, :]
-            acc = acc + a[None, :] * brow
-        C = C.at[i, :, :].set(acc)
-    return C
+            t = a[None, :] * brow
+            acc = t if acc is None else acc + t
+        out_rows.append(acc)                # row i of C, cols on axis 0
+    return jnp.stack(out_rows, axis=0)
 
 
 def _mv(A, x, b, ta=False):
-    """(b, b, W) @ (b, W) lane-batched matvec."""
-    acc = jnp.zeros_like(x)
+    """(b, b, W) @ (k, b, W) lane-batched matvec (k rhs on axis 0 of x).
+
+    Returns (k, b, W)."""
+    acc = None
     for j in range(b):
         a = A[j, :, :] if ta else A[:, j, :]
-        acc = acc + a * x[j, :][None, :]
+        t = a[None, :, :] * x[:, j, :][:, None, :]
+        acc = t if acc is None else acc + t
     return acc
 
 
-def _roll(x, shift):
-    """Roll along the lane (last) axis."""
-    return pltpu.roll(x, shift, axis=x.ndim - 1) if not _interpret() \
-        else jnp.roll(x, shift, axis=-1)
+def _roll(x, shift, W):
+    """Roll along the lane (last) axis by a (possibly dynamic,
+    non-negative) ``shift``; shift W acts as identity."""
+    if _interpret():
+        return jnp.roll(x, shift, axis=-1)
+    if isinstance(shift, int):
+        shift = shift % W
+    return pltpu.roll(x, shift, axis=x.ndim - 1)
 
 
 # ---------------------------------------------------------------------------
-# factor kernel: all levels of the reduction in one kernel
+# factor kernel: all levels of the reduction in one kernel, one fori body
 # ---------------------------------------------------------------------------
 
 
 def _factor_kernel(b: int, W: int, levels: int,
                    d_ref, e_ref, pinv_ref, eb_ref, ea_ref, root_ref):
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W), 2)
-    eye = jnp.zeros((b, b, W), d_ref.dtype)
+    lane = lax.broadcasted_iota(jnp.int32, (1, 1, W), 2)
+    eye_rows = []
     for i in range(b):
-        eye = eye.at[i, i, :].set(1.0)
+        eye_rows.append(jnp.zeros((b, W), d_ref.dtype).at[i, :].set(1.0))
+    eye = jnp.stack(eye_rows, axis=0)
 
-    D = d_ref[...]
-    E = e_ref[...]
-    for lev in range(levels):
-        s = 1 << lev
+    def body(lev, carry):
+        D, E = carry
+        s = jnp.left_shift(jnp.int32(1), lev)
         # live-odd lanes of this level: p % 2s == s
         odd = (lane % (2 * s)) == s
         P = jnp.where(odd, D, eye)
         Pinv = _chol_inv(P, b)
         # align odd-lane quantities onto the even lanes they update
-        Pinv_a = _roll(Pinv, -s)
-        Ea_a = _roll(E, -s)                  # E[2k'+1] -> lane 2k's
+        # (roll by -s == roll by W - s)
+        Pinv_a = _roll(Pinv, W - s, W)
+        Ea_a = _roll(E, W - s, W)            # E[2k'+1] -> lane 2k's
         Eb = E                               # E[2k'] already at 2k's
         PiEb = _mm(Pinv_a, Eb, b)
         De = D - _mm(Eb, PiEb, b, ta=True)   # Eb^T PiEb
         EaPi = _mm(Ea_a, Pinv_a, b)
         left = _mm(EaPi, Ea_a, b, tb=True)   # Ea Pinv Ea^T at even lanes
-        shifted = _roll(left, 2 * s)
+        shifted = _roll(left, (2 * s) % W, W)
         De = De - jnp.where(lane >= 2 * s, shifted, 0.0)
         Enew = -_mm(Ea_a, PiEb, b)
-        pinv_ref[lev] = Pinv_a
-        eb_ref[lev] = Eb
-        ea_ref[lev] = Ea_a
-        D, E = De, Enew
+        pinv_ref[pl.ds(lev, 1)] = Pinv_a[None]
+        eb_ref[pl.ds(lev, 1)] = Eb[None]
+        ea_ref[pl.ds(lev, 1)] = Ea_a[None]
+        return De, Enew
+
+    D, E = lax.fori_loop(0, levels, body, (d_ref[...], e_ref[...]))
     # root pivot lives at lane 0
     root_ref[...] = _chol_inv(jnp.where(lane == 0, D, eye), b)
 
@@ -218,7 +238,7 @@ def cr_factor_pallas(D: jnp.ndarray, E: jnp.ndarray) -> CRPLFactors:
     )
     Pinv, Eb, Ea, root = pl.pallas_call(
         kernel,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 0 + [
+        in_specs=[
             pl.BlockSpec((b, b, W), lambda: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((b, b, W), lambda: (0, 0, 0),
@@ -244,49 +264,50 @@ def cr_factor_pallas(D: jnp.ndarray, E: jnp.ndarray) -> CRPLFactors:
 
 
 def _solve_kernel(b: int, k: int, W: int, levels: int,
-                  pinv_ref, eb_ref, ea_ref, root_ref, r_ref, x_ref):
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W), 2)
+                  pinv_ref, eb_ref, ea_ref, root_ref, r_ref, x_ref,
+                  stack_ref):
+    lane = lax.broadcasted_iota(jnp.int32, (1, 1, W), 2)
 
-    rs = [r_ref[:, c, :] for c in range(k)]        # k rhs, each (b, W)
-    stack = []                                     # per level: aligned odd rhs
-    for lev in range(levels):
-        s = 1 << lev
-        Pinv_a, Eb, Ea_a = pinv_ref[lev], eb_ref[lev], ea_ref[lev]
-        new_rs, ro_lev = [], []
-        for c in range(k):
-            ro_a = _roll(rs[c][None], -s)[0]       # odd rhs -> even lanes
-            g = _mv(Pinv_a, ro_a, b)
-            upd = rs[c] - _mv(Eb, g, b, ta=True)   # Eb^T g at even lanes
-            fold = _roll(_mv(Ea_a, g, b)[None], 2 * s)[0]
-            upd = upd - jnp.where(lane[0] >= 2 * s, fold, 0.0)
-            new_rs.append(upd)
-            ro_lev.append(ro_a)
-        rs = new_rs
-        stack.append(ro_lev)
+    # rhs as (k, b, W): rhs index leads so _mv threads all k at once
+    rs = jnp.transpose(r_ref[...], (1, 0, 2))
 
-    xs = []
-    for c in range(k):
-        x = _mv(root_ref[...], rs[c], b)
-        x = jnp.where(lane[0] == 0, x, 0.0)
-        xs.append(x)
+    def down(lev, rs):
+        s = jnp.left_shift(jnp.int32(1), lev)
+        Pinv_a = pinv_ref[pl.ds(lev, 1)][0]
+        Eb = eb_ref[pl.ds(lev, 1)][0]
+        Ea_a = ea_ref[pl.ds(lev, 1)][0]
+        ro_a = _roll(rs, W - s, W)             # odd rhs -> even lanes
+        g = _mv(Pinv_a, ro_a, b)
+        upd = rs - _mv(Eb, g, b, ta=True)      # Eb^T g at even lanes
+        fold = _roll(_mv(Ea_a, g, b), (2 * s) % W, W)
+        upd = upd - jnp.where(lane >= 2 * s, fold, 0.0)
+        stack_ref[pl.ds(lev, 1)] = ro_a[None]
+        return upd
 
-    for lev in reversed(range(levels)):
-        s = 1 << lev
-        Pinv_a, Eb, Ea_a = pinv_ref[lev], eb_ref[lev], ea_ref[lev]
-        odd = (lane[0] % (2 * s)) == s
-        for c in range(k):
-            x = xs[c]
-            # x at even lanes of this level; next even neighbour for
-            # Ea^T (zero past the top lane — the roll wraps)
-            x_next = _roll(x[None], -2 * s)[0]
-            x_next = jnp.where(lane[0] < W - 2 * s, x_next, 0.0)
-            rhs = stack[lev][c] - _mv(Eb, x, b) - \
-                _mv(Ea_a, x_next, b, ta=True)
-            xo = _mv(Pinv_a, rhs, b)
-            xs[c] = jnp.where(odd, _roll(xo[None], s)[0], x)
+    rs = lax.fori_loop(0, levels, down, rs)
 
-    for c in range(k):
-        x_ref[:, c, :] = xs[c]
+    x = _mv(root_ref[...], rs, b)
+    x = jnp.where(lane == 0, x, 0.0)
+
+    def up(i, x):
+        lev = levels - 1 - i
+        s = jnp.left_shift(jnp.int32(1), lev)
+        Pinv_a = pinv_ref[pl.ds(lev, 1)][0]
+        Eb = eb_ref[pl.ds(lev, 1)][0]
+        Ea_a = ea_ref[pl.ds(lev, 1)][0]
+        ro_a = stack_ref[pl.ds(lev, 1)][0]
+        odd = (lane % (2 * s)) == s
+        # x at even lanes of this level; the next even neighbour for
+        # Ea^T comes from lane + 2s, i.e. a roll by -2s == W - 2s
+        # (zero past the top lane — the roll wraps)
+        x_next = _roll(x, (W - 2 * s) % W, W)
+        x_next = jnp.where(lane < W - 2 * s, x_next, 0.0)
+        rhs = ro_a - _mv(Eb, x, b) - _mv(Ea_a, x_next, b, ta=True)
+        xo = _mv(Pinv_a, rhs, b)
+        return jnp.where(odd, _roll(xo, s, W), x)
+
+    x = lax.fori_loop(0, levels, up, x)
+    x_ref[...] = jnp.transpose(x, (1, 0, 2))
 
 
 def cr_solve_pallas(f: CRPLFactors, r: jnp.ndarray) -> jnp.ndarray:
@@ -312,6 +333,7 @@ def cr_solve_pallas(f: CRPLFactors, r: jnp.ndarray) -> jnp.ndarray:
         out_specs=pl.BlockSpec((b, k, W), lambda: (0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, k, W), r.dtype),
+        scratch_shapes=[pltpu.VMEM((levels, k, b, W), r.dtype)],
         interpret=_interpret(),
     )(f.Pinv, f.Eb, f.Ea, f.root, r_t)
     return jnp.transpose(x_t, (2, 0, 1))[:N]
