@@ -341,7 +341,40 @@ class FusedBatchedIPM(CompiledIPM):
 
     # -- the fused step + loop -----------------------------------------
 
-    def _fused_step(self, data_tvs, var_vals, mu, bt, scratch, gap):
+    def _gondzio_round_soa(self, env, data_tvs, var_vals, scratch, d,
+                           alpha, mu_target, bt, beta_min=0.1,
+                           beta_max=10.0, delta_alpha=0.1, gamma=0.1):
+        """One Gondzio centrality-corrector round inside the kernel —
+        the SoA translation of :meth:`CompiledIPM._gondzio_round`
+        (ipm.py), same constants, per-lane accept masks."""
+        dt = self.dtype
+        zero_mu = jnp.zeros((1, bt), dt)
+        alpha_t = jnp.minimum(alpha + delta_alpha, 1.0)
+        trial = tuple(v + alpha_t * dv for v, dv in zip(var_vals, d))
+        tenv = self._env_soa(data_tvs, trial, zero_mu)
+        genv = dict(env)
+        memo = {}
+        for i, (vec, definition, comp) in enumerate(self.corrector):
+            sz = self.var_sizes[i]
+            if comp and sz:
+                p = soa.as_vector(soa.evaluate(definition, tenv, memo),
+                                  sz, bt, dt)
+                target = jnp.clip(p, beta_min * mu_target,
+                                  beta_max * mu_target)
+                genv[vec] = soa.vector(p - target)
+            else:
+                genv[vec] = soa.vector(jnp.zeros((sz, bt), dt))
+        dm = self._search_direction_soa(scratch, genv, bt)
+        d_new = tuple(dv + dmv for dv, dmv in zip(d, dm))
+        alpha_new = self._max_step_soa(env, var_vals, d_new, bt)
+        accept = alpha_new >= jnp.minimum(alpha + gamma * delta_alpha,
+                                          1.0)
+        d_out = tuple(jnp.where(accept, dn, dv)
+                      for dn, dv in zip(d_new, d))
+        return d_out, jnp.where(accept, alpha_new, alpha)
+
+    def _fused_step(self, data_tvs, var_vals, mu, bt, scratch, gap,
+                    gondzio=0):
         # ``gap`` is the duality gap AT var_vals, threaded through the
         # while-loop carry: the end-of-iteration metrics of step i are
         # bitwise the start-of-step metrics of step i+1, so recomputing
@@ -376,11 +409,15 @@ class FusedBatchedIPM(CompiledIPM):
                                       affine_deltas=d_aff, bt=bt)
         d_cc = self._search_direction_soa(scratch, cenv, bt)
         alpha = self._max_step_soa(env, var_vals, d_cc, bt)
+        for _ in range(gondzio):
+            d_cc, alpha = self._gondzio_round_soa(env, data_tvs, var_vals,
+                                                  scratch, d_cc, alpha,
+                                                  mu_new, bt)
         step = self.fraction_to_boundary * alpha
         new_vars = tuple(v + step * d for v, d in zip(var_vals, d_cc))
         return new_vars, mu_new
 
-    def _fused_kernel(self, max_iter, warm, *refs):
+    def _fused_kernel(self, max_iter, warm, gondzio, *refs):
         n_data = len(self._data_syms)
         in_refs = refs[:n_data]
         pos = n_data
@@ -443,7 +480,7 @@ class FusedBatchedIPM(CompiledIPM):
             var_vals, mu, residual, gap, done_f, iters, it = carry
             done = done_f > 0.5
             new_vars, mu_new = self._fused_step(data_tvs, var_vals, mu, bt,
-                                                scratch, gap)
+                                                scratch, gap, gondzio)
             # freeze converged instances
             new_vars = tuple(jnp.where(done, v, nv)
                              for v, nv in zip(var_vals, new_vars))
@@ -488,7 +525,8 @@ class FusedBatchedIPM(CompiledIPM):
 
         return jax.tree_util.tree_map(pad, tree)
 
-    def solve_fused(self, data: QPData, state=None, max_iter=None):
+    def solve_fused(self, data: QPData, state=None, max_iter=None,
+                    gondzio: int = 0):
         """Solve a batch of QPs entirely inside one Pallas kernel.
 
         ``state``: optional warm start — a dict with ``variables``
@@ -496,6 +534,10 @@ class FusedBatchedIPM(CompiledIPM):
         ``solve_fused`` result; the kernel resumes from it (compaction
         schedules gather unconverged instances and resume).
         ``max_iter``: per-call override of the iteration budget.
+        ``gondzio``: centrality-corrector rounds per iteration, run
+        IN-kernel (each adds one extra solve against the existing
+        factors + one trial evaluation; the anti-cycling stage of
+        :meth:`solve_fused_compact` uses this from a cold restart).
 
         Any batch size is accepted: non-aligned batches are replicate-
         padded to a tile multiple up front (see :meth:`_pad_batch`) and
@@ -507,7 +549,7 @@ class FusedBatchedIPM(CompiledIPM):
         max_iter = self.max_iter if max_iter is None else max_iter
         if B % bt:
             data, state = self._pad_batch(B, (data, state))
-            out = self.solve_fused(data, state, max_iter)
+            out = self.solve_fused(data, state, max_iter, gondzio)
             return {k: v[:B] for k, v in out.items()}
 
         def to_soa(arr, dims):
@@ -560,7 +602,8 @@ class FusedBatchedIPM(CompiledIPM):
                          memory_space=pltpu.VMEM)
             for s in out_shapes)
 
-        kernel = functools.partial(self._fused_kernel, max_iter, warm)
+        kernel = functools.partial(self._fused_kernel, max_iter, warm,
+                                   gondzio)
         x, allvars, iters, residual, gap, mu = pl.pallas_call(
             kernel,
             grid=grid,
@@ -682,7 +725,8 @@ class FusedBatchedIPM(CompiledIPM):
     # -- compaction schedule over fused stages ---------------------------
 
     def _compact_fused_impl(self, data: QPData, schedule, tail_cap: int,
-                            tail_iters: int, tail_gondzio: int):
+                            tail_iters: int, tail_gondzio: int,
+                            fused_tail: bool = False):
         """Staged fused solve: run the full batch for a few iterations,
         then gather the unconverged stragglers into ever-smaller batches
         and RESUME them (warm-started kernel) with more budget.
@@ -690,7 +734,11 @@ class FusedBatchedIPM(CompiledIPM):
         The whole-batch fused stage makes every tile pay for its slowest
         lane (~2.5x useful/executed iteration slack measured at
         max_iter=30); compaction confines that slack to a tile or two.
-        Finishes with the Gondzio anti-cycling tail."""
+        Finishes with the anti-cycling stage: with ``fused_tail`` the
+        stragglers are COLD-RESTARTED in one aligned fused tile running
+        in-kernel Gondzio rounds (the XLA masked-while tail that follows
+        then finds nothing left and exits immediately — it stays as the
+        safety net); without it, the XLA Gondzio tail does the work."""
         B = data.Q.shape[0]
         (k0, div0), *rest = schedule
         assert div0 == 1, "first stage must cover the full batch"
@@ -706,22 +754,46 @@ class FusedBatchedIPM(CompiledIPM):
             for f in ("x", "variables", "iterations", "residual", "gap",
                       "mu", "converged"):
                 out[f] = out[f].at[take].set(s_out[f])
+        if fused_tail:
+            # cap = one exact tile (B is always a bt multiple here, the
+            # public entries pad first), so no padding happens inside
+            # this traced region — the historical device-wedge config
+            cap = min(self.bt, B)
+            take = jnp.argsort(out["converged"])[:cap]
+            s_data = jax.tree_util.tree_map(lambda a: a[take], data)
+            s_was = out["converged"][take]
+            s_out = self.solve_fused(s_data, max_iter=tail_iters,
+                                     gondzio=tail_gondzio)
+            s_out["iterations"] = s_out["iterations"] + \
+                out["iterations"][take]
+            use = (~s_was) & s_out["converged"]
+            for f in ("x", "variables", "iterations", "residual", "gap",
+                      "mu", "converged"):
+                src = s_out[f]
+                upd = jnp.where(
+                    use.reshape((-1,) + (1,) * (src.ndim - 1)),
+                    src, out[f][take])
+                out[f] = out[f].at[take].set(upd)
         return self._gondzio_tail(data, out, tail_cap, tail_iters,
                                   tail_gondzio)
 
     def solve_fused_compact(self, data: QPData, schedule=None,
                             tail_cap: int = 128, tail_iters: int = 30,
-                            tail_gondzio: int = 2):
+                            tail_gondzio: int = 2,
+                            fused_tail: bool = True):
         """Compaction-scheduled fused solve (see
         :meth:`_compact_fused_impl`).  Default schedule: most of the
         batch converges within ~9 iterations; stragglers resume in a
-        1/8-size batch, then the anti-cycling tail handles cyclers."""
+        1/8-size batch, then the in-kernel-Gondzio anti-cycling stage
+        handles cyclers (``fused_tail=False`` falls back to the XLA
+        masked-while tail for that)."""
         B = data.Q.shape[0]
         if B % self.bt:
             # pad BEFORE the jit so the traced program is the aligned one
             data, = self._pad_batch(B, (data,))
             out = self.solve_fused_compact(data, schedule, tail_cap,
-                                           tail_iters, tail_gondzio)
+                                           tail_iters, tail_gondzio,
+                                           fused_tail)
             return {k: v[:B] for k, v in out.items()}
         if schedule is None:
             if B <= 2 * self.bt:
@@ -733,7 +805,8 @@ class FusedBatchedIPM(CompiledIPM):
                 k0 = min(self.max_iter, 8)
                 schedule = [(k0, 1),
                             (max(self.max_iter - k0, 1), 8)]
-        key = (B, tuple(schedule), tail_cap, tail_iters, tail_gondzio)
+        key = (B, tuple(schedule), tail_cap, tail_iters, tail_gondzio,
+               fused_tail)
         cache = getattr(self, "_compactf_cache", None)
         if cache is None:
             cache = self._compactf_cache = {}
@@ -741,5 +814,5 @@ class FusedBatchedIPM(CompiledIPM):
             cache[key] = jax.jit(functools.partial(
                 self._compact_fused_impl, schedule=tuple(schedule),
                 tail_cap=tail_cap, tail_iters=tail_iters,
-                tail_gondzio=tail_gondzio))
+                tail_gondzio=tail_gondzio, fused_tail=fused_tail))
         return cache[key](data)

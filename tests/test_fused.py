@@ -46,6 +46,24 @@ def test_fused_matches_xla_solver():
                                rtol=1e-6, atol=1e-14)
 
 
+def test_fused_gondzio_matches_xla_solver():
+    """In-kernel Gondzio rounds (gondzio=k) are in lockstep with the
+    XLA solver's _gondzio_round — same constants, same accept rule."""
+    B, n, m = 8, 6, 3
+    data = make_batch(B, n, m, seed=11)
+    ref = CompiledIPM(Settings(), n=n, m_ineq=m, dtype=jnp.float64,
+                      kernel="jnp", gondzio=2)
+    fused = FusedBatchedIPM(Settings(), n=n, m_ineq=m, bt=8,
+                            dtype=jnp.float64)
+    r = ref.solve_batch(data)
+    f = fused.solve_fused(data, gondzio=2)
+    assert bool(jnp.all(r.converged)) and bool(jnp.all(f["converged"]))
+    np.testing.assert_array_equal(np.asarray(r.iterations),
+                                  np.asarray(f["iterations"]).astype(int))
+    np.testing.assert_allclose(np.asarray(f["x"]), np.asarray(r.x),
+                               rtol=1e-12, atol=1e-12)
+
+
 def test_fused_batch_padding():
     # batch not a multiple of the tile: padding instances must not leak
     B, n, m = 5, 4, 2
