@@ -162,6 +162,29 @@ class TestIPMConsumer:
         plan = nd._nd_plan
         assert plan is not None and plan.flops_nd < plan.flops_dense / 3
 
+    def test_nd_solve_batch(self):
+        # batched QPs share the structure (plan derived from instance 0)
+        from ipmzoo_tpu.formulations import Settings
+        from ipmzoo_tpu.models import CompiledIPM
+        n, m, B = 64, 8, 3
+        insts = [self._sparse_qp(n, m, seed=20 + i) for i in range(B)]
+        base = insts[0]
+        # identical sparsity across the batch: keep instance 0's Q/A
+        # structure, vary the dense vectors
+        data = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *[
+            type(base)(Q=base.Q, c=d.c, A_ineq=base.A_ineq,
+                       l_A_ineq=d.l_A_ineq, u_A_ineq=d.u_A_ineq,
+                       A_eq=base.A_eq, b_eq=base.b_eq,
+                       l_x=base.l_x, u_x=base.u_x) for d in insts])
+        nd = CompiledIPM(Settings(), n=n, m_ineq=m, kernel="nd",
+                         nd_leaf=16)
+        ref = CompiledIPM(Settings(), n=n, m_ineq=m, kernel="jnp")
+        r_nd = nd.solve_batch(data)
+        r_ref = ref.solve_batch(data)
+        assert bool(jnp.all(r_nd.converged))
+        np.testing.assert_allclose(np.asarray(r_nd.x),
+                                   np.asarray(r_ref.x), atol=1e-7)
+
     def test_explicit_pattern(self):
         from ipmzoo_tpu.formulations import Settings
         from ipmzoo_tpu.models import CompiledIPM
