@@ -268,6 +268,71 @@ def bench_arrow(backend):
     return label, speedup, "x speedup"
 
 
+def bench_nd(backend):
+    """General-sparsity structured path: nested-dissection IPM
+    (kernel='nd', ops/ndiss.py) vs the dense path on a 2D-grid QP —
+    per-iteration step time, slope-timed, like BENCH_MODE=arrow."""
+    import jax
+    import jax.numpy as jnp
+    from ipmzoo_tpu.formulations import Bounds, InequalityHandling, Settings
+    from ipmzoo_tpu.models import CompiledIPM, QPData
+
+    from ipmzoo_tpu.utils.timing import measure_chain
+
+    g = int(os.environ.get("BENCH_ND_G", 64))        # grid side; n = g^2
+    leaf = int(os.environ.get("BENCH_ND_LEAF", 64))
+    n = g * g
+    rng = np.random.default_rng(0)
+    # 2D 5-point-stencil coupling (graph = g x g grid), diagonally
+    # dominant so Q is PD; box bounds
+    rows, cols, vals = [], [], []
+    for i in range(g):
+        for j in range(g):
+            v = i * g + j
+            for (di, dj) in ((0, 1), (1, 0)):
+                ii, jj = i + di, j + dj
+                if ii < g and jj < g:
+                    w = 0.25 * rng.normal()
+                    rows.append(v); cols.append(ii * g + jj); vals.append(w)
+    Q = np.zeros((n, n), np.float32)
+    Q[rows, cols] = vals
+    Q = Q + Q.T
+    Q[np.arange(n), np.arange(n)] = 4.0 + rng.random(n).astype(np.float32)
+    c = rng.normal(size=n).astype(np.float32)
+    l = np.full(n, -1.0, np.float32)
+    u = np.full(n, 1.0, np.float32)
+    settings = Settings(inequalities=Bounds.NONE,
+                        inequality_handling=InequalityHandling.SLACKS)
+    data = QPData.make(Q=Q, c=c, l_x=l, u_x=u, dtype=jnp.float32)
+
+    solver = CompiledIPM(settings, n=n, dtype=jnp.float32, tol=1e-5,
+                         kernel="nd", nd_leaf=leaf)
+    res = solver.solve(data)
+    if not bool(res.converged):
+        raise RuntimeError("nd solver did not converge")
+    plan = solver._nd_plan
+    print(f"nd: {len(plan.levels)} levels, flop ratio dense/nd = "
+          f"{plan.flops_dense / max(plan.flops_nd, 1):.1f}x",
+          file=sys.stderr)
+    step = jax.jit(solver._step_impl)
+    state = solver.init_state(data)
+    t_nd = measure_chain(lambda s: step(s, data), state)
+
+    dense = CompiledIPM(settings, n=n, dtype=jnp.float32, tol=1e-5)
+    dstep = jax.jit(dense._step_impl)
+    dstate = dense.init_state(data)
+    t_dense = measure_chain(lambda s: dstep(s, data), dstate)
+
+    speedup = t_dense / t_nd
+    print(f"nd: {t_nd * 1e3:.3f} ms/iter vs {t_dense * 1e3:.2f} ms/iter "
+          f"dense = {speedup:.1f}x", file=sys.stderr)
+    label = (f"nested-dissection IPM step speedup vs dense path "
+             f"(2D-grid QP, n={n}, leaf={leaf}, {backend}; "
+             f"{t_nd * 1e3:.2f} ms vs {t_dense * 1e3:.1f} ms per "
+             f"iteration)")
+    return label, speedup, "x speedup"
+
+
 def bench_tf(data, backend):
     """f32 two-float (double-single) pipeline: FULL batched solves at
     the reference-parity tolerance 1e-8 — the BASELINE.md headline
@@ -445,11 +510,16 @@ def main(force_cpu: bool = False):
     """Run ONE engine (BENCH_MODE in the environment) and print the JSON
     line.  Orchestration across engines/devices happens in __main__,
     which never touches jax itself."""
+    global BATCH
     import jax
     if force_cpu:
         # the axon TPU plugin overrides JAX_PLATFORMS, so the env var
         # alone does not switch backends — use the config API
         jax.config.update("jax_platforms", "cpu")
+        # the CPU fallback must produce a number inside the engine
+        # timeout: it/s is batch-size-independent at this scale, so
+        # solve a 1k slice of the workload instead of all 10k
+        BATCH = min(BATCH, 1024)
     import jax.numpy as jnp
 
     backend = jax.default_backend()
@@ -472,6 +542,9 @@ def main(force_cpu: bool = False):
         # single-core on this host (n=48 dense, its LinearSolvers
         # driven by a timing harness)
         baseline = 2.88
+    elif mode == "nd":
+        label, value, unit = bench_nd(backend)
+        baseline = 1.0   # speedup is already relative to the dense path
     elif mode == "tf":
         label, value = bench_tf(data, backend)
     elif mode == "normal":

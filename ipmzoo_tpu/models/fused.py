@@ -754,6 +754,19 @@ class FusedBatchedIPM(CompiledIPM):
             for f in ("x", "variables", "iterations", "residual", "gap",
                       "mu", "converged"):
                 out[f] = out[f].at[take].set(s_out[f])
+        # Full-batch mop-up: a resume stage whose active count exceeds
+        # its 1/divisor capacity silently leaves instances unconverged
+        # (observed at tol 1e-6: stage 1 converges ~6% fewer than at
+        # 1e-5 and the 1/8 gather overflows).  Resuming the WHOLE batch
+        # is cheap — a tile whose lanes are all converged exits its
+        # while_loop at the first cond — and guarantees capacity
+        # overflow never costs convergence.  Budget: an instance dropped
+        # after stage 1 is still owed max_iter - k0 iterations.
+        if rest and self.max_iter > k0:
+            m_state = {"variables": out["variables"], "mu": out["mu"],
+                       "iterations": out["iterations"]}
+            out = self.solve_fused(data, state=m_state,
+                                   max_iter=self.max_iter - k0)
         if fused_tail:
             # cap = one exact tile (B is always a bt multiple here, the
             # public entries pad first), so no padding happens inside

@@ -1420,6 +1420,21 @@ class CompiledIPM:
                 lambda f, s: f.at[take].set(s), state, s_state)
             diverged = diverged.at[take].set(s_div)
 
+        # Full-batch mop-up: a stage whose active count exceeds its
+        # 1/divisor capacity silently leaves instances unconverged (the
+        # gather drops them on the floor) — observed at tol 1e-6, where
+        # stage 1 converges ~6% fewer instances than at 1e-5 and the
+        # 1/8 cap overflows.  The early-exit masked while costs one
+        # cond evaluation when everything already converged, and
+        # full-batch steps only for as long as any instance is active,
+        # so the compact engine is never worse-converging than
+        # solve_batch within the same per-instance budget.
+        done = (state.residual < res_tol) & (state.gap < self.tol)
+        state, mop_div = self._masked_while(
+            state, data, done | diverged, res_tol,
+            max(self.max_iter - schedule[0][0], 0))
+        diverged = diverged | mop_div
+
         def finish(st, d, rtol, div):
             env = self._env(d, st.vars, st.mu)
             f = self._cgm.evaluate(self.objective_expr, env).val \

@@ -141,6 +141,24 @@ def test_fused_compact_matches_refined():
                                np.asarray(ref["iterations"]))
 
 
+def test_fused_compact_capacity_overflow_mopped_up():
+    """A resume stage whose 1/divisor capacity cannot hold the active
+    set (cap 8 of ~24 actives here) must not cost convergence: the
+    full-batch mop-up resume stage finishes the overflow."""
+    B, n, m = 24, 6, 3
+    data = make_batch(B, n, m, seed=21)
+    fused = FusedBatchedIPM(Settings(), n=n, m_ineq=m, bt=8,
+                            dtype=jnp.float64, max_iter=40)
+    out = fused.solve_fused_compact(data, schedule=[(1, 1), (3, 3)],
+                                    tail_cap=8)
+    assert bool(jnp.all(out["converged"]))
+    ref = CompiledIPM(Settings(), n=n, m_ineq=m, dtype=jnp.float64,
+                      kernel="jnp", max_iter=40)
+    r = ref.solve_batch(data)
+    np.testing.assert_allclose(np.asarray(out["x"]), np.asarray(r.x),
+                               rtol=1e-7, atol=1e-7)
+
+
 def test_fused_padded_public_entries():
     """Non-aligned batches through every public entry: the batch is
     replicate-padded BEFORE the kernel/jit region (safe-by-construction,
