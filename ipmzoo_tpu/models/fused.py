@@ -812,10 +812,13 @@ class FusedBatchedIPM(CompiledIPM):
             if B <= 2 * self.bt:
                 schedule = [(self.max_iter, 1)]
             else:
-                # measured on the bench workload (v5e): k0=8 converges
-                # ~91% in stage 1 and a 1/8 batch holds the rest; k0=8
-                # beat 7/9/10 and a 3-stage schedule at 100% convergence
-                k0 = min(self.max_iter, 8)
+                # stage 1 must converge >87.5% for the 1/8 stage-2 cap
+                # to hold.  Measured iteration quantiles on the bench
+                # workload: tol 1e-5 needs p87.5 = 8 iterations (k0=8
+                # beat 7/9/10 on v5e at 100% convergence); tol 1e-6
+                # needs p95 = 14 (at k0=8 NOTHING converges in stage 1
+                # and the mop-up degenerates to a full-batch solve)
+                k0 = min(self.max_iter, 8 if self.tol >= 1e-5 else 14)
                 schedule = [(k0, 1),
                             (max(self.max_iter - k0, 1), 8)]
         key = (B, tuple(schedule), tail_cap, tail_iters, tail_gondzio,

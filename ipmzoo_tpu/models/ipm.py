@@ -1468,7 +1468,11 @@ class CompiledIPM:
             if B < 64:
                 schedule = [(self.max_iter, 1)]
             else:
-                k0 = min(self.max_iter, 12)
+                # stage 1 must converge >87.5% of the batch or the 1/8
+                # stage-2 cap overflows into the (full-batch-cost)
+                # mop-up: measured p87.5 on the bench workload is 8
+                # iterations at tol 1e-5 but 13-14 at 1e-6
+                k0 = min(self.max_iter, 12 if self.tol >= 1e-5 else 14)
                 k1 = min(max(self.max_iter - k0, 0), 12)
                 k2 = max(self.max_iter - k0 - k1, 0)
                 schedule = [(k0, 1)]
