@@ -274,38 +274,17 @@ def bench_nd(backend):
     per-iteration step time, slope-timed, like BENCH_MODE=arrow."""
     import jax
     import jax.numpy as jnp
-    from ipmzoo_tpu.formulations import Bounds, InequalityHandling, Settings
-    from ipmzoo_tpu.models import CompiledIPM, QPData
-
+    from ipmzoo_tpu.models import CompiledIPM
+    from ipmzoo_tpu.models.families import grid_qp
     from ipmzoo_tpu.utils.timing import measure_chain
 
     g = int(os.environ.get("BENCH_ND_G", 64))        # grid side; n = g^2
     leaf = int(os.environ.get("BENCH_ND_LEAF", 64))
     n = g * g
-    rng = np.random.default_rng(0)
-    # 2D 5-point-stencil coupling (graph = g x g grid), diagonally
-    # dominant so Q is PD; box bounds
-    rows, cols, vals = [], [], []
-    for i in range(g):
-        for j in range(g):
-            v = i * g + j
-            for (di, dj) in ((0, 1), (1, 0)):
-                ii, jj = i + di, j + dj
-                if ii < g and jj < g:
-                    w = 0.25 * rng.normal()
-                    rows.append(v); cols.append(ii * g + jj); vals.append(w)
-    Q = np.zeros((n, n), np.float32)
-    Q[rows, cols] = vals
-    Q = Q + Q.T
-    Q[np.arange(n), np.arange(n)] = 4.0 + rng.random(n).astype(np.float32)
-    c = rng.normal(size=n).astype(np.float32)
-    l = np.full(n, -1.0, np.float32)
-    u = np.full(n, 1.0, np.float32)
-    settings = Settings(inequalities=Bounds.NONE,
-                        inequality_handling=InequalityHandling.SLACKS)
-    data = QPData.make(Q=Q, c=c, l_x=l, u_x=u, dtype=jnp.float32)
+    fam = grid_qp(side=g, seed=0, dtype=jnp.float32)
+    data = fam.data
 
-    solver = CompiledIPM(settings, n=n, dtype=jnp.float32, tol=1e-5,
+    solver = CompiledIPM(fam.settings, n=n, dtype=jnp.float32, tol=1e-5,
                          kernel="nd", nd_leaf=leaf)
     res = solver.solve(data)
     if not bool(res.converged):
@@ -318,7 +297,7 @@ def bench_nd(backend):
     state = solver.init_state(data)
     t_nd = measure_chain(lambda s: step(s, data), state)
 
-    dense = CompiledIPM(settings, n=n, dtype=jnp.float32, tol=1e-5)
+    dense = CompiledIPM(fam.settings, n=n, dtype=jnp.float32, tol=1e-5)
     dstep = jax.jit(dense._step_impl)
     dstate = dense.init_state(data)
     t_dense = measure_chain(lambda s: dstep(s, data), dstate)

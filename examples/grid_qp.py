@@ -12,55 +12,48 @@ the dense path's O(n^3) factorisation.
     python examples/grid_qp.py [grid_side] [leaf]
 """
 
+import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ipmzoo_tpu.formulations import Bounds, InequalityHandling, Settings
-from ipmzoo_tpu.models import CompiledIPM, QPData
-
-
-def make_grid_qp(g, seed=0):
-    n = g * g
-    rng = np.random.default_rng(seed)
-    Q = np.zeros((n, n), np.float64)
-    for i in range(g):
-        for j in range(g):
-            v = i * g + j
-            for di, dj in ((0, 1), (1, 0)):
-                ii, jj = i + di, j + dj
-                if ii < g and jj < g:
-                    w = 0.25 * rng.normal()
-                    Q[v, ii * g + jj] = Q[ii * g + jj, v] = w
-    Q[np.arange(n), np.arange(n)] = 4.0 + rng.random(n)
-    c = rng.normal(size=n)
-    return QPData.make(Q=Q, c=c, l_x=np.full(n, -1.0),
-                      u_x=np.full(n, 1.0))
+from ipmzoo_tpu.models import CompiledIPM
+from ipmzoo_tpu.models.families import grid_qp
 
 
 def main(g=24, leaf=32):
     n = g * g
-    data = make_grid_qp(g)
-    settings = Settings(inequalities=Bounds.NONE,
-                        inequality_handling=InequalityHandling.SLACKS)
+    # f64 needs x64 mode (CPU); the TPU backend is f32-only — pick the
+    # dtype/tolerance pair the backend supports (f32 floor is 1e-6,
+    # tests/test_precision_floor.py)
+    if jax.default_backend() == "tpu" or not jax.config.jax_enable_x64:
+        dtype, tol = jnp.float32, 1e-5
+    else:
+        dtype, tol = jnp.float64, 1e-8
+    fam = grid_qp(side=g, seed=0, dtype=dtype)
+    data = fam.data
 
-    nd = CompiledIPM(settings, n=n, dtype=jnp.float64, tol=1e-8,
+    nd = CompiledIPM(fam.settings, n=n, dtype=dtype, tol=tol,
                      kernel="nd", nd_leaf=leaf)
     t0 = time.time()
     res = nd.solve(data)          # derives the dissection plan, compiles
     t_nd = time.time() - t0
     plan = nd._nd_plan
-    print(f"grid {g}x{g} (n={n}): nested dissection, "
-          f"{len(plan.levels)} levels, "
+    print(f"grid {g}x{g} (n={n}, {dtype.__name__}, tol={tol:g}): "
+          f"nested dissection, {len(plan.levels)} levels, "
           f"flop ratio dense/nd = "
           f"{plan.flops_dense / max(plan.flops_nd, 1):.1f}x")
     print(f"  nd:    converged={bool(res.converged)} "
           f"iters={int(res.iterations)} gap={float(res.gap):.2e} "
           f"({t_nd:.1f}s incl. compile)")
 
-    dense = CompiledIPM(settings, n=n, dtype=jnp.float64, tol=1e-8)
+    dense = CompiledIPM(fam.settings, n=n, dtype=dtype, tol=tol)
     t0 = time.time()
     res_d = dense.solve(data)
     t_d = time.time() - t0

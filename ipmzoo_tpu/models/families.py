@@ -284,6 +284,39 @@ def arrow_chain(n: int = 96, bandwidth: int = 8, tip: int = 4,
                   n, 0, 0)
 
 
+def grid_qp(side: int = 24, batch: int = 0, seed: int = 0,
+            dtype=None) -> Family:
+    """Box-bounded QP whose Hessian couples variables on a side x side
+    grid (5-point stencil — discretised control/estimation fields).
+    The KKT sparsity has small separators, the workload
+    ``CompiledIPM(kernel="nd")`` factors by nested-dissection block
+    elimination (ops/ndiss.py) instead of the dense O(n^3) path.
+    Shared by BENCH_MODE=nd and examples/grid_qp.py."""
+    rng = _rng(seed)
+    n = side * side
+    shape = (batch,) if batch else ()
+    Q = np.zeros(shape + (n, n))
+    for i in range(side):
+        for j in range(side):
+            v = i * side + j
+            for di, dj in ((0, 1), (1, 0)):
+                ii, jj = i + di, j + dj
+                if ii < side and jj < side:
+                    Q[..., v, ii * side + jj] = \
+                        0.25 * rng.normal(size=shape)
+    Q = Q + np.swapaxes(Q, -1, -2)
+    idx = np.arange(n)
+    Q[..., idx, idx] = 4.0 + rng.random(shape + (n,))
+    data = QPData.make(
+        Q=Q, c=rng.normal(size=shape + (n,)),
+        l_x=np.full(shape + (n,), -1.0),
+        u_x=np.full(shape + (n,), 1.0), dtype=dtype)
+    return Family("grid_qp", data,
+                  Settings(inequalities=Bounds.NONE,
+                           inequality_handling=InequalityHandling.SLACKS),
+                  n, 0, 0)
+
+
 FAMILIES = {
     "portfolio": portfolio,
     "mpc": mpc,
@@ -292,4 +325,5 @@ FAMILIES = {
     "elastic_net": elastic_net,
     "equality_qp": equality_qp,
     "arrow_chain": arrow_chain,
+    "grid_qp": grid_qp,
 }

@@ -1428,11 +1428,16 @@ class CompiledIPM:
         # cond evaluation when everything already converged, and
         # full-batch steps only for as long as any instance is active,
         # so the compact engine is never worse-converging than
-        # solve_batch within the same per-instance budget.
+        # solve_batch.  Budget: an instance dropped after stage 1 is
+        # still owed max_iter - k0 iterations; per-instance totals can
+        # therefore exceed max_iter, like the restart tails' cumulative
+        # counts.  Gondzio rounds ride along (free when no lane is
+        # active) so a capacity-dropped cycler at least gets the
+        # corrector, though without the cold restart the tails provide.
         done = (state.residual < res_tol) & (state.gap < self.tol)
         state, mop_div = self._masked_while(
             state, data, done | diverged, res_tol,
-            max(self.max_iter - schedule[0][0], 0))
+            max(self.max_iter - schedule[0][0], 0), gondzio=tail_gondzio)
         diverged = diverged | mop_div
 
         def finish(st, d, rtol, div):
@@ -1463,6 +1468,7 @@ class CompiledIPM:
         the full batch, 12 more on the slowest eighth, and the remaining
         iteration budget on the slowest 1/64th.  ``tail_gondzio``:
         Gondzio corrector rounds for the tail stages (anti-cycling)."""
+        self._ensure_nd_plan(data)
         B = data.Q.shape[0]
         if schedule is None:
             if B < 64:

@@ -359,14 +359,23 @@ def _bsolve(fac, r):
         bt_solve(fac, r)
 
 
-def _pl_fits(N: int, b: int) -> bool:
-    """Whole-reduction Pallas kernel VMEM estimate (ops/cr_pallas.py):
-    inputs + 3 per-level outputs + root must stay resident."""
+def _pl_fits(N: int, b: int, k: int = 2) -> bool:
+    """Whole-reduction Pallas kernel VMEM estimate (ops/cr_pallas.py).
+
+    Factor kernel: inputs + 3 per-level factor slabs + root.  Solve
+    kernel: the same slabs as inputs PLUS the (levels, k, b, W)
+    down-sweep scratch and the (b, k, W) rhs/out, where ``k`` is the
+    widest rhs block the caller will solve (the arrow strip is t wide).
+    Both must fit; budget 10 MB of the 16 MB scoped-VMEM cap to leave
+    room for Mosaic temporaries."""
     W = 128
     while W < N:
         W *= 2
     levels = W.bit_length() - 1
-    return (3 * levels + 6) * b * b * W * 4 <= 10 * 1024 * 1024
+    factor = (3 * levels + 6) * b * b * W * 4
+    solve = (3 * levels + 1) * b * b * W * 4 + \
+        (levels + 3) * k * b * W * 4
+    return max(factor, solve) <= 10 * 1024 * 1024
 
 
 def arrow_factor(D, E, U, Ctip, method: str = "auto") -> ArrowFactors:
@@ -382,7 +391,8 @@ def arrow_factor(D, E, U, Ctip, method: str = "auto") -> ArrowFactors:
     N, b = D.shape[0], D.shape[-1]
     t = Ctip.shape[0]
     if method == "auto":
-        if jax.default_backend() == "tpu" and N >= 8 and _pl_fits(N, b):
+        if jax.default_backend() == "tpu" and N >= 8 and \
+                _pl_fits(N, b, max(t, 2)):
             method = "pl"
         else:
             method = "cr" if N >= 8 else "scan"

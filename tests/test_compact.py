@@ -77,8 +77,10 @@ class TestCompact:
         full = s.solve_batch(data)
         assert np.asarray(full.converged).all()
         assert np.asarray(r.converged).all()
+        # the mop-up runs Gondzio rounds (plain solve_batch does not),
+        # so converged iterates agree to solution tolerance, not bitwise
         np.testing.assert_allclose(np.asarray(r.x), np.asarray(full.x),
-                                   atol=1e-6)
+                                   atol=1e-5)
 
     def test_f32_full_convergence_with_tail_gondzio(self):
         data = _random_batch(256, 16, 8, jnp.float32, seed=3)
