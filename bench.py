@@ -626,9 +626,14 @@ if __name__ == "__main__":
     if device_ok:
         # default: FULL convergence-checked solves on the fused Pallas
         # engine (fastest; asserts >=99.9% converged), then the compacted
-        # XLA path, then the raw step engine, as fallbacks
-        for mode in ("fused", "solve", "steps"):
-            rec = _run_engine(mode, timeout_s=540)
+        # XLA path, then the raw step engine, as fallbacks.  Generous
+        # timeouts: first compile of the compact program (stages +
+        # in-kernel-Gondzio tail + mop-up) is minutes on the tunnelled
+        # backend, and a timeout kill mid-compile WEDGES the tunnel for
+        # the fallback engines too.
+        for mode, t_s in (("fused", 1500), ("solve", 1200),
+                          ("steps", 600)):
+            rec = _run_engine(mode, timeout_s=t_s)
             if rec is not None:
                 print(json.dumps(rec))
                 sys.exit(0)
