@@ -243,7 +243,18 @@ class FusedBatchedIPM(CompiledIPM):
         renv[self.symbols.mu] = soa.scalar(mu_val)
         memo = {}
         corr_vals = None
-        if affine_deltas is not None:
+        if affine_deltas is not None and self.corrector_rem is not None:
+            # taylor="symbolic": one evaluation of the staged remainder
+            # (mirrors CompiledIPM._residual_env; keep in lockstep)
+            corr_vals = {}
+            cenv = dict(env)
+            cenv[self.symbols.mu] = soa.scalar(jnp.zeros_like(mu_val))
+            for var, dj in zip(self.full.variables, affine_deltas):
+                cenv[delta_variable(var)] = soa.vector(dj)
+            cmemo = {}
+            for vec, rem in self.corrector_rem.items():
+                corr_vals[vec] = soa.evaluate(rem, cenv, cmemo)
+        elif affine_deltas is not None:
             corr_vals = {}
             zero_mu = jnp.zeros_like(mu_val)
             aff_point = tuple(v + d for v, d in zip(var_vals,

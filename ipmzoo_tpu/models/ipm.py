@@ -100,7 +100,8 @@ class CompiledIPM:
                  hybrid_refine: bool = False, df_residuals: bool = False,
                  two_float: bool = False, mesh=None,
                  mesh_axis: str = "tp", panel: Optional[int] = None,
-                 nd_pattern=None, nd_leaf: int = 32):
+                 nd_pattern=None, nd_leaf: int = 32,
+                 taylor: str = "staged"):
         self.settings = settings
         self.n, self.m_ineq, self.m_eq = n, m_ineq, m_eq
         self.dtype = dtype
@@ -271,6 +272,18 @@ class CompiledIPM:
         # quadratic, so the remainder is exact).
         self.corrector = [(vec, definition, is_comp(definition))
                           for vec, definition in sh.vector_definitions]
+        # taylor="symbolic": the remainder above as a SIMPLIFIED
+        # expression in the affine-delta symbols, staged once, instead
+        # of the generic three-point numeric computation.  Exact at ANY
+        # simplification level (the formula is the same polynomial
+        # identity the numeric path computes), so this is a pure
+        # evaluation-cost trade; opt-in until TPU-measured.
+        if taylor not in ("staged", "symbolic"):
+            raise ValueError(f"unknown taylor={taylor!r}; expected "
+                             "'staged' or 'symbolic'")
+        self.taylor = taylor
+        self.corrector_rem = (self._build_symbolic_corrector()
+                              if taylor == "symbolic" else None)
 
         # nonnegative variables (fraction-to-boundary set)
         nonneg = {o.s_A_ineq_l, o.s_A_ineq_u, o.s_x_l, o.s_x_u, o.s_A_eq_l,
@@ -906,6 +919,37 @@ class CompiledIPM:
 
         return solve
 
+    def _build_symbolic_corrector(self):
+        """Exact quadratic Taylor remainder of each complementarity row
+        as a simplified expression in the affine-delta symbols:
+
+            rem_i = simplify(def_i(v + Delta) - def_i(v)
+                             - sum_j lhs[i][j] Delta_j)
+
+        All residual rows are polynomials of degree <= 2 in the
+        variables, so the formula is exact by construction; simplify
+        cancels the degree-<=1 parts, leaving a handful of elementwise
+        ops (e.g. ``(diag(Dg + g) - G)(Dl + l) - Lambda Dg``) instead of
+        two extra full-row evaluations plus the Jacobian-delta
+        accumulation per corrector phase."""
+        rems = {}
+        for i, (vec, definition, comp) in enumerate(self.corrector):
+            if not comp:
+                continue
+            shifted = definition
+            for v in self.full.variables:
+                shifted = shifted.replace(
+                    v, E.sum_expr([v, delta_variable(v)]))
+            terms = [shifted, E.negate(definition)]
+            for j, vj in enumerate(self.full.variables):
+                cell = self.full.lhs[i][j]
+                if cell is E.ZERO:
+                    continue
+                terms.append(E.negate(E.product([cell,
+                                                 delta_variable(vj)])))
+            rems[vec] = E.sum_expr(terms).simplify()
+        return rems
+
     def _residual_env(self, env, mu_val, data=None, var_vals=None,
                       affine_deltas=None):
         """Bind the shorthand residual vectors r_{v} into a new env.
@@ -923,7 +967,18 @@ class CompiledIPM:
         memo = {}
 
         corr_vals = None
-        if affine_deltas is not None:
+        if affine_deltas is not None and self.corrector_rem is not None:
+            # taylor="symbolic": one evaluation of the staged remainder
+            corr_vals = {}
+            cenv = dict(env)
+            cenv[self.symbols.mu] = m.scalar(
+                jnp.asarray(0.0, self.dtype))
+            for var, dj in zip(self.full.variables, affine_deltas):
+                cenv[delta_variable(var)] = self._vec_tv(dj)
+            cmemo = {}
+            for vec, rem in self.corrector_rem.items():
+                corr_vals[vec] = m.evaluate(rem, cenv, cmemo)
+        elif affine_deltas is not None:
             corr_vals = {}
             aff_point = tuple(self._dadd(v, d) for v, d in
                               zip(var_vals, affine_deltas))
