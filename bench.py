@@ -446,6 +446,44 @@ def bench_aug(backend):
     return label, iters / t
 
 
+def bench_schur(backend):
+    """BASELINE config 5 (single-chip line): block-separable coupled QP
+    through the distributed Schur-complement IPM.  On one device the
+    psum is free; on a pod slice the same program shards blocks over
+    the mesh with one (m_c^2 + m_c)-float psum per solve phase (the
+    2-process path is exercised by tests/test_distributed.py and
+    dryrun_multichip)."""
+    import jax.numpy as jnp
+    from ipmzoo_tpu.parallel.schur import BlockQPData, SchurIPM
+    from ipmzoo_tpu.utils.timing import measure_call
+
+    blocks = int(os.environ.get("BENCH_SCHUR_BLOCKS", 64))
+    n = int(os.environ.get("BENCH_SCHUR_N", 64))
+    m_c = int(os.environ.get("BENCH_SCHUR_MC", 16))
+    rng = np.random.default_rng(0)
+    M = rng.normal(size=(blocks, n, n))
+    Q = np.einsum("bij,bkj->bik", M, M) / n + np.eye(n)
+    data = BlockQPData(
+        Q=jnp.asarray(Q, jnp.float32),
+        c=jnp.asarray(rng.normal(size=(blocks, n)), jnp.float32),
+        F=jnp.asarray(rng.normal(size=(blocks, m_c, n)) / blocks,
+                      jnp.float32),
+        l_x=jnp.full((blocks, n), -3.0, jnp.float32),
+        u_x=jnp.full((blocks, n), 3.0, jnp.float32),
+        g=jnp.asarray(rng.normal(size=(m_c,)) * 0.1, jnp.float32))
+    s = SchurIPM(n=n, m_c=m_c, dtype=jnp.float32, tol=1e-5)
+    res = s.solve(data)
+    if not bool(res.converged):
+        raise RuntimeError("schur solver did not converge")
+    iters = float(res.iterations)
+    t = measure_call(s.solve, data)
+    label = (f"IPM iterations/s, block-separable coupled QP "
+             f"({blocks} blocks x n={n}, m_c={m_c}) via the "
+             f"Schur-complement IPM, fully solved in {int(iters)} "
+             f"iterations ({backend})")
+    return label, iters / t
+
+
 def bench_kkt(data, backend):
     """Batched KKT factor+solve throughput (GFLOP/s/chip) via the Pallas
     VMEM-resident kernels."""
@@ -524,6 +562,8 @@ def main(force_cpu: bool = False):
     elif mode == "nd":
         label, value, unit = bench_nd(backend)
         baseline = 1.0   # speedup is already relative to the dense path
+    elif mode == "schur":
+        label, value = bench_schur(backend)
     elif mode == "tf":
         label, value = bench_tf(data, backend)
     elif mode == "normal":
