@@ -1,5 +1,9 @@
 """Device kernels: factorisations and solves."""
 
+from ..utils.precision import apply_default_matmul_precision
+
+apply_default_matmul_precision()
+
 from .banded import (arrow_factor, arrow_solve, bt_factor, bt_solve,
                      cr_factor, cr_solve, detect_arrow)
 from .cr_pallas import cr_factor_pallas, cr_solve_pallas

@@ -107,7 +107,7 @@ def _chol_inv(P, b):
         for k in range(i):
             t = cols[k][i, :][None, :] * rows[k]
             acc = t if acc is None else acc + t
-        e = jnp.zeros_like(P[0]).at[i, :].set(1.0)
+        e = _eye_row(i, b, P.shape[-1], P.dtype)
         acc = e if acc is None else e - acc
         rows.append(acc * inv_d[i][None, :])
     # Pinv[i,j] = sum_k Linv[k,i] Linv[k,j]; mask row k of Linv to its
@@ -147,6 +147,16 @@ def _mv(A, x, b, ta=False):
     return acc
 
 
+def _eye_row(i, b, W, dtype):
+    """Row i of the b x b identity, lane-broadcast to (b, W).
+
+    Built from an iota mask — ``.at[i].set`` lowers to a ``scatter``
+    primitive, which Mosaic does not implement (a TPU-only lowering
+    failure that interpret-mode CPU tests cannot catch)."""
+    iot = lax.broadcasted_iota(jnp.int32, (b, W), 0)
+    return jnp.where(iot == i, 1.0, 0.0).astype(dtype)
+
+
 def _roll(x, shift, W):
     """Roll along the lane (last) axis by a (possibly dynamic,
     non-negative) ``shift``; shift W acts as identity."""
@@ -165,10 +175,8 @@ def _roll(x, shift, W):
 def _factor_kernel(b: int, W: int, levels: int,
                    d_ref, e_ref, pinv_ref, eb_ref, ea_ref, root_ref):
     lane = lax.broadcasted_iota(jnp.int32, (1, 1, W), 2)
-    eye_rows = []
-    for i in range(b):
-        eye_rows.append(jnp.zeros((b, W), d_ref.dtype).at[i, :].set(1.0))
-    eye = jnp.stack(eye_rows, axis=0)
+    eye = jnp.stack([_eye_row(i, b, W, d_ref.dtype) for i in range(b)],
+                    axis=0)
 
     def body(lev, carry):
         D, E = carry
