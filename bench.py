@@ -69,8 +69,9 @@ def _solver(dtype=None, **kw):
     import jax.numpy as jnp
     from ipmzoo_tpu.formulations import Settings
     from ipmzoo_tpu.models import CompiledIPM
+    kw.setdefault("tol", TOL)
     return CompiledIPM(Settings(), n=N, m_ineq=M_INEQ,
-                       dtype=dtype or jnp.float32, tol=TOL, **kw)
+                       dtype=dtype or jnp.float32, **kw)
 
 
 def bench_solve(data, backend):

@@ -653,6 +653,75 @@ class FusedBatchedIPM(CompiledIPM):
         return self._gondzio_tail(data, out, tail_cap, tail_iters,
                                   tail_gondzio)
 
+    def _escalation_solver(self):
+        """Two-float twin of this solver for the final escalation stage.
+
+        Some instances hit a genuine f32 ITERATION floor just above the
+        tolerance: measured on v5e at tol 1e-6, 1 instance in 10240
+        finishes with duality gap 1.4e-14 but primal/dual residual
+        1.07e-6 reported / 1.14e-6 in exact arithmetic — an f32-rounded
+        iterate simply cannot represent a residual below
+        ~eps_f32*||Qx|| for that data, in ANY number of f32 iterations
+        (the Gondzio tail is powerless: this is representation, not
+        cycling).  The two-float pipeline stores iterates as
+        double-single pairs (models/codegen_df.py + ops/ldlt_df.py),
+        which removes that floor (pinned to 1e-8 by
+        tests/test_precision_floor.py)."""
+        esc = getattr(self, "_esc_solver", None)
+        if esc is None:
+            esc = CompiledIPM(
+                self.settings, self.n, self.m_ineq, self.m_eq,
+                names=self.names, dtype=self.dtype, tol=self.tol,
+                max_iter=self.max_iter, mu0=self.mu0, delta0=self.delta0,
+                pivot_floor=self.pivot_floor, two_float=True)
+            self._esc_solver = esc
+        return esc
+
+    def _escalate_tail(self, data: QPData, out, esc_cap: int,
+                       esc_iters: int, esc_gondzio: int):
+        """Re-solve the residual-stuck stragglers in two-float pairs.
+
+        Runs inside the same jit as the fused stages.  When every
+        instance already converged the masked while-loop exits at its
+        first condition check, so the converged-batch cost is one
+        vmapped metrics evaluation — the stage is effectively free
+        unless it has work to do."""
+        B = data.Q.shape[0]
+        cap = min(esc_cap, B)
+        esc = self._escalation_solver()
+        take = jnp.argsort(out["converged"])[:cap]
+        e_data = jax.tree_util.tree_map(lambda a: a[take], data)
+        e_was = out["converged"][take]
+        e_state = jax.vmap(esc.init_state)(e_data)
+        e_tol = jnp.full((cap,), self.tol, self.dtype)
+        e_state, e_div = esc._masked_while(
+            e_state, e_data, e_was, e_tol, esc_iters,
+            gondzio=esc_gondzio)
+        e_conv = ((e_state.residual < e_tol) & (e_state.gap < self.tol)
+                  & ~e_div)
+        # round the (cap, 2, sz) double-single pairs back to working
+        # precision for the merged outputs
+        e_vars = jnp.concatenate(
+            [v[:, 0] + v[:, 1] for v in e_state.vars], axis=-1)
+        use = (~e_was) & e_conv
+
+        def put(dst, src):
+            upd = jnp.where(use.reshape((-1,) + (1,) * (src.ndim - 1)),
+                            src, dst[take])
+            return dst.at[take].set(upd)
+
+        x_i = self.var_index[self.symbols.x]
+        off = sum(self.var_sizes[:x_i])
+        out["x"] = put(out["x"], e_vars[:, off:off + self.n])
+        out["variables"] = put(out["variables"], e_vars)
+        out["residual"] = put(out["residual"], e_state.residual)
+        out["gap"] = put(out["gap"], e_state.gap)
+        out["iterations"] = put(
+            out["iterations"],
+            out["iterations"][take] + e_state.iteration.astype(self.dtype))
+        out["converged"] = put(out["converged"], e_conv)
+        return out
+
     def _gondzio_tail(self, data: QPData, out, tail_cap: int,
                       tail_iters: int, tail_gondzio: int):
         B = data.Q.shape[0]
@@ -737,7 +806,8 @@ class FusedBatchedIPM(CompiledIPM):
 
     def _compact_fused_impl(self, data: QPData, schedule, tail_cap: int,
                             tail_iters: int, tail_gondzio: int,
-                            fused_tail: bool = False):
+                            fused_tail: bool = False, esc_cap: int = 0,
+                            esc_iters: int = 40):
         """Staged fused solve: run the full batch for a few iterations,
         then gather the unconverged stragglers into ever-smaller batches
         and RESUME them (warm-started kernel) with more budget.
@@ -798,13 +868,18 @@ class FusedBatchedIPM(CompiledIPM):
                     use.reshape((-1,) + (1,) * (src.ndim - 1)),
                     src, out[f][take])
                 out[f] = out[f].at[take].set(upd)
-        return self._gondzio_tail(data, out, tail_cap, tail_iters,
-                                  tail_gondzio)
+        out = self._gondzio_tail(data, out, tail_cap, tail_iters,
+                                 tail_gondzio)
+        if esc_cap:
+            out = self._escalate_tail(data, out, esc_cap, esc_iters,
+                                      tail_gondzio)
+        return out
 
     def solve_fused_compact(self, data: QPData, schedule=None,
                             tail_cap: int = 128, tail_iters: int = 30,
                             tail_gondzio: int = 2,
-                            fused_tail: bool = True):
+                            fused_tail: bool = True, esc_cap: int = 32,
+                            esc_iters: int = 40):
         """Compaction-scheduled fused solve (see
         :meth:`_compact_fused_impl`).  Default schedule: most of the
         batch converges within ~9 iterations; stragglers resume in a
@@ -817,7 +892,7 @@ class FusedBatchedIPM(CompiledIPM):
             data, = self._pad_batch(B, (data,))
             out = self.solve_fused_compact(data, schedule, tail_cap,
                                            tail_iters, tail_gondzio,
-                                           fused_tail)
+                                           fused_tail, esc_cap, esc_iters)
             return {k: v[:B] for k, v in out.items()}
         if schedule is None:
             if B <= 2 * self.bt:
@@ -833,7 +908,7 @@ class FusedBatchedIPM(CompiledIPM):
                 schedule = [(k0, 1),
                             (max(self.max_iter - k0, 1), 8)]
         key = (B, tuple(schedule), tail_cap, tail_iters, tail_gondzio,
-               fused_tail)
+               fused_tail, esc_cap, esc_iters)
         cache = getattr(self, "_compactf_cache", None)
         if cache is None:
             cache = self._compactf_cache = {}
@@ -841,5 +916,6 @@ class FusedBatchedIPM(CompiledIPM):
             cache[key] = jax.jit(functools.partial(
                 self._compact_fused_impl, schedule=tuple(schedule),
                 tail_cap=tail_cap, tail_iters=tail_iters,
-                tail_gondzio=tail_gondzio, fused_tail=fused_tail))
+                tail_gondzio=tail_gondzio, fused_tail=fused_tail,
+                esc_cap=esc_cap, esc_iters=esc_iters))
         return cache[key](data)

@@ -188,6 +188,7 @@ class CompiledIPM:
 
         o = build_symbols(names)
         self.symbols = o
+        self.names = names
 
         # --- symbolic derivation (compile time) --------------------------
         full = newton_system(settings, names)

@@ -180,3 +180,31 @@ def test_fused_padded_public_entries():
         # may differ from the straight-through path at the tol scale
         np.testing.assert_allclose(np.asarray(out["x"]), np.asarray(r.x),
                                    rtol=1e-7, atol=1e-7)
+
+
+def test_fused_compact_escalation_rescues_residual_stuck():
+    """The two-float escalation stage finishes instances every f32-level
+    stage failed on.  On hardware the real trigger is an instance whose
+    f32 ITERATION floor sits just above the tolerance (v5e, tol 1e-6:
+    gap 1.4e-14 but exact residual 1.14e-6 — representation, not
+    cycling); here we reproduce the topology by starving every earlier
+    stage (core budget 4, tails 1 iteration) so only the escalation
+    stage can converge the batch."""
+    B, n, m = 8, 6, 3
+    data = make_batch(B, n, m, seed=5)
+    fused = FusedBatchedIPM(Settings(), n=n, m_ineq=m, bt=8,
+                            dtype=jnp.float64, max_iter=4)
+    starved = fused.solve_fused_compact(data, schedule=[(4, 1)],
+                                        tail_iters=1, esc_cap=0)
+    assert not bool(jnp.all(starved["converged"]))
+    out = fused.solve_fused_compact(data, schedule=[(4, 1)],
+                                    tail_iters=1, esc_iters=60)
+    assert bool(jnp.all(out["converged"]))
+    ref = CompiledIPM(Settings(), n=n, m_ineq=m, dtype=jnp.float64,
+                      kernel="jnp", max_iter=60)
+    r = ref.solve_batch(data)
+    np.testing.assert_allclose(np.asarray(out["x"]), np.asarray(r.x),
+                               rtol=1e-6, atol=1e-6)
+    # escalated instances accumulate iterations on top of earlier stages
+    rescued = ~np.asarray(starved["converged"])
+    assert (np.asarray(out["iterations"])[rescued] > 4).all()
