@@ -55,6 +55,19 @@ def _pick_bt(npad: int, Bpad: int) -> int:
     return min(bt, Bpad)
 
 
+def _pl_fits(n: int) -> bool:
+    """Whether one LANE-wide batch tile of the factor kernel fits VMEM.
+
+    The SoA layout puts the batch on the lane axis, so the minimum
+    useful tile is 128 instances: at large n that alone blows the
+    ~16 MB scoped VMEM limit (measured: aug_dim 352 demands a 60.5 MB
+    window and the whole solve crashes at compile).  Batched calls
+    beyond this size route to the XLA blocked kernel instead."""
+    npad = max(_round_up(n, 8), 8)
+    per_instance = npad * npad * 4 * 2 + npad * 4 * 2
+    return per_instance * LANE <= 14 * 1024 * 1024
+
+
 # ---------------------------------------------------------------------------
 # factor kernel: A_t (n, n, BT) -> L_t (strict lower + unit diag), D_t (n, BT)
 # ---------------------------------------------------------------------------
@@ -216,6 +229,10 @@ def ldlt_auto(A: jnp.ndarray):
 def _ldlt_auto_vmap(axis_size, in_batched, A):
     (a_batched,) = in_batched
     assert a_batched
+    if not _pl_fits(A.shape[-1]):
+        from .blocked_ldlt import ldlt_blocked
+        L, D = jax.vmap(lambda a: ldlt_blocked(a, PIVOT_FLOOR))(A)
+        return (L, D), (True, True)
     L, D = batched_ldlt_pallas(A, PIVOT_FLOOR)
     return (L, D), (True, True)
 
@@ -228,5 +245,8 @@ def solve_ldlt_auto(L: jnp.ndarray, D: jnp.ndarray, b: jnp.ndarray):
 @solve_ldlt_auto.def_vmap
 def _solve_ldlt_auto_vmap(axis_size, in_batched, L, D, b):
     assert all(in_batched)
+    if not _pl_fits(L.shape[-1]):
+        x = jax.vmap(solve_ldlt)(L, D, b)
+        return x, True
     x = batched_solve_ldlt_pallas(L, D, b)
     return x, True

@@ -298,7 +298,14 @@ class SchurIPM:
 
     def solve(self, data: BlockQPData) -> SchurResult:
         """Single-device (or fully local) solve; no collectives."""
-        st = jax.jit(self._solve_loop)(data)
+        # the jitted loop is cached on the instance: a fresh jax.jit
+        # wrapper per call would retrace AND recompile every time
+        # (measured through the TPU tunnel: ~0.3 s/call, 100x the
+        # actual solve)
+        fn = getattr(self, "_solve_jit", None)
+        if fn is None:
+            fn = self._solve_jit = jax.jit(self._solve_loop)
+        st = fn(data)
         return self._finalise(data, st)
 
     def solve_sharded(self, data: BlockQPData) -> SchurResult:
@@ -317,10 +324,12 @@ class SchurIPM:
 
         out_specs = SchurState(x=blk, s_l=blk, s_u=blk, z_l=blk, z_u=blk,
                                nu=rep, iteration=rep, residual=rep, gap=rep)
-        st = jax.jit(jax.shard_map(local, mesh=mesh,
-                                   in_specs=(in_specs,),
-                                   out_specs=out_specs,
-                                   check_vma=False))(data)
+        fn = getattr(self, "_solve_sharded_jit", None)
+        if fn is None:
+            fn = self._solve_sharded_jit = jax.jit(
+                jax.shard_map(local, mesh=mesh, in_specs=(in_specs,),
+                              out_specs=out_specs, check_vma=False))
+        st = fn(data)
         # objective needs a global reduction; do it outside the shard_map
         obj = jnp.sum(0.5 * jnp.einsum("bi,bij,bj->b", st.x, data.Q, st.x) +
                       jnp.einsum("bi,bi->b", data.c, st.x))

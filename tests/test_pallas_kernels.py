@@ -73,3 +73,21 @@ def test_pivot_floor_in_kernel():
     L, D = batched_ldlt_pallas(A)
     assert np.all(np.asarray(D) == 1e-8)
     assert np.all(np.isfinite(np.asarray(L)))
+
+
+def test_ldlt_auto_large_dim_routes_off_kernel():
+    """Batched factor/solve at a dimension whose minimum Pallas tile
+    cannot fit VMEM (aug_dim 352 crashed BENCH_MODE=aug at compile on
+    hardware) must route to the XLA blocked path and stay correct."""
+    from ipmzoo_tpu.ops.pallas_ldlt import _pl_fits
+    assert not _pl_fits(352)
+    assert _pl_fits(64)
+    rng = np.random.default_rng(5)
+    n, B = 352, 3
+    M = rng.normal(size=(B, n, n))
+    A = jnp.asarray(M @ np.swapaxes(M, 1, 2) + n * np.eye(n), jnp.float64)
+    b = jnp.asarray(rng.normal(size=(B, n)), jnp.float64)
+    L, D = jax.vmap(ldlt_auto)(A)
+    x = jax.vmap(solve_ldlt_auto)(L, D, b)
+    r = jnp.einsum("bij,bj->bi", A, x) - b
+    assert float(jnp.max(jnp.abs(r))) < 1e-7
