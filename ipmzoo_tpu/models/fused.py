@@ -673,7 +673,10 @@ class FusedBatchedIPM(CompiledIPM):
                 self.settings, self.n, self.m_ineq, self.m_eq,
                 names=self.names, dtype=self.dtype, tol=self.tol,
                 max_iter=self.max_iter, mu0=self.mu0, delta0=self.delta0,
-                pivot_floor=self.pivot_floor, two_float=True)
+                pivot_floor=self.pivot_floor,
+                fraction_to_boundary=self.fraction_to_boundary,
+                mu_floor=self.mu_floor, scale_tol=self.scale_tol,
+                gondzio=self.gondzio, two_float=True)
             self._esc_solver = esc
         return esc
 

@@ -43,28 +43,32 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _pick_bt(npad: int, Bpad: int) -> int:
+def _pick_bt(npad: int, Bpad: int, dtype=jnp.float32) -> int:
     """Batch-tile size: as large as VMEM comfortably allows.
 
     Measured on v5e (n=32): bt=128 is badly issue-bound, bt=512 reaches
     ~6 TFLOP/s f32.  Budget ~10 MB for the A-in + L-out blocks."""
     budget = 10 * 1024 * 1024
-    per_instance = npad * npad * 4 * 2 + npad * 4 * 2
+    itemsize = jnp.dtype(dtype).itemsize
+    per_instance = npad * npad * itemsize * 2 + npad * itemsize * 2
     bt = budget // max(per_instance, 1)
     bt = max(LANE, min(512, (bt // LANE) * LANE))
     return min(bt, Bpad)
 
 
-def _pl_fits(n: int) -> bool:
+def _pl_fits(n: int, dtype=jnp.float32) -> bool:
     """Whether one LANE-wide batch tile of the factor kernel fits VMEM.
 
     The SoA layout puts the batch on the lane axis, so the minimum
     useful tile is 128 instances: at large n that alone blows the
     ~16 MB scoped VMEM limit (measured: aug_dim 352 demands a 60.5 MB
     window and the whole solve crashes at compile).  Batched calls
-    beyond this size route to the XLA blocked kernel instead."""
+    beyond this size route to the XLA blocked kernel instead.  The
+    element size comes from ``dtype`` — with x64 enabled an f64 batch
+    doubles the VMEM estimate, halving the dim range the kernel takes."""
     npad = max(_round_up(n, 8), 8)
-    per_instance = npad * npad * 4 * 2 + npad * 4 * 2
+    itemsize = jnp.dtype(dtype).itemsize
+    per_instance = npad * npad * itemsize * 2 + npad * itemsize * 2
     return per_instance * LANE <= 14 * 1024 * 1024
 
 
@@ -175,6 +179,77 @@ def _batched_solve_t(L_t, D_t, b_t, n: int, bt: int = LANE):
 
 
 # ---------------------------------------------------------------------------
+# multi-rhs solve kernel: L_t (n,n,BT), D_t (n,BT), B_t (n,K,BT) -> (n,K,BT)
+# ---------------------------------------------------------------------------
+
+def _solve_matrix_kernel(n: int, l_ref, d_ref, b_ref, x_ref):
+    """Exact-width unrolled triangular sweeps over a (npad, K, BT) rhs
+    block — the K right-hand sides of every lane-instance solve together
+    (one factor read instead of K).  n is static, so the column loop is
+    a Python loop with static slices (same pattern as the fused
+    engine's in-kernel solve, models/fused.py)."""
+    x_ref[...] = b_ref[...]
+    # forward: x[j+1:] -= L[j+1:, j] * x[j]
+    for j in range(n - 1):
+        x_ref[j + 1:n, :, :] = x_ref[j + 1:n, :, :] - \
+            l_ref[j + 1:n, j, :][:, None, :] * x_ref[j, :, :][None, :, :]
+    x_ref[...] = x_ref[...] / d_ref[...][:, None, :]
+    # backward: x[i] -= sum_{k>i} L[k, i] * x[k]
+    for i in range(n - 2, -1, -1):
+        s = jnp.sum(l_ref[i + 1:n, i, :][:, None, :] * x_ref[i + 1:n, :, :],
+                    axis=0)
+        x_ref[i, :, :] = x_ref[i, :, :] - s
+
+
+def _batched_solve_matrix_t(L_t, D_t, B_t, n: int, bt: int = LANE):
+    npad, _, Bpad = L_t.shape
+    kpad = B_t.shape[1]
+    grid = (Bpad // bt,)
+    kernel = functools.partial(_solve_matrix_kernel, n)
+    x_t = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec((npad, npad, bt), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((npad, bt), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((npad, kpad, bt), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((npad, kpad, bt), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((npad, kpad, Bpad), L_t.dtype),
+        interpret=_interpret(),
+    )(L_t, D_t, B_t)
+    return x_t
+
+
+def batched_solve_ldlt_matrix_pallas(L: jnp.ndarray, D: jnp.ndarray,
+                                     R: jnp.ndarray) -> jnp.ndarray:
+    """Multi-rhs batched solve: L (B, n, n), D (B, n), R (B, n, k) ->
+    X (B, n, k) with L D L^T X_b = R_b per instance."""
+    B, n, _ = L.shape
+    k = R.shape[-1]
+    if n == 0 or k == 0:
+        return R
+    npad = max(_round_up(n, 8), 8)
+    kpad = max(_round_up(k, 8), 8)
+    # VMEM budget includes the (npad, kpad, bt) rhs+solution blocks
+    itemsize = jnp.dtype(L.dtype).itemsize
+    budget = 10 * 1024 * 1024
+    per_instance = (npad * npad + 2 * npad * kpad + npad) * itemsize
+    bt0 = max(LANE, min(512, (budget // per_instance // LANE) * LANE))
+    Bpad = _round_up(max(B, 1), bt0)
+    L_t = jnp.pad(jnp.transpose(L, (1, 2, 0)),
+                  ((0, npad - n), (0, npad - n), (0, Bpad - B)))
+    D_t = jnp.pad(jnp.transpose(D, (1, 0)), ((0, npad - n), (0, Bpad - B)),
+                  constant_values=1.0)
+    R_t = jnp.pad(jnp.transpose(R, (1, 2, 0)),
+                  ((0, npad - n), (0, kpad - k), (0, Bpad - B)))
+    x_t = _batched_solve_matrix_t(L_t, D_t, R_t, n, bt=bt0)
+    return jnp.transpose(x_t, (2, 0, 1))[:B, :n, :k]
+
+
+# ---------------------------------------------------------------------------
 # layout wrappers: (B, n, n) <-> (npad, npad, Bpad)
 # ---------------------------------------------------------------------------
 
@@ -184,7 +259,7 @@ def batched_ldlt_pallas(A: jnp.ndarray, pivot_floor: float = PIVOT_FLOOR):
     if n == 0:
         return jnp.zeros_like(A), jnp.zeros((B, 0), A.dtype)
     npad = max(_round_up(n, 8), 8)
-    bt0 = _pick_bt(npad, _round_up(max(B, 1), LANE))
+    bt0 = _pick_bt(npad, _round_up(max(B, 1), LANE), A.dtype)
     Bpad = _round_up(max(B, 1), bt0)
     A_t = jnp.transpose(A, (1, 2, 0))
     A_t = jnp.pad(A_t, ((0, npad - n), (0, npad - n), (0, Bpad - B)))
@@ -201,7 +276,7 @@ def batched_solve_ldlt_pallas(L: jnp.ndarray, D: jnp.ndarray,
     if n == 0:
         return b
     npad = max(_round_up(n, 8), 8)
-    bt0 = _pick_bt(npad, _round_up(max(B, 1), LANE))
+    bt0 = _pick_bt(npad, _round_up(max(B, 1), LANE), L.dtype)
     Bpad = _round_up(max(B, 1), bt0)
     L_t = jnp.pad(jnp.transpose(L, (1, 2, 0)),
                   ((0, npad - n), (0, npad - n), (0, Bpad - B)))
@@ -229,7 +304,7 @@ def ldlt_auto(A: jnp.ndarray):
 def _ldlt_auto_vmap(axis_size, in_batched, A):
     (a_batched,) = in_batched
     assert a_batched
-    if not _pl_fits(A.shape[-1]):
+    if not _pl_fits(A.shape[-1], A.dtype):
         from .blocked_ldlt import ldlt_blocked
         L, D = jax.vmap(lambda a: ldlt_blocked(a, PIVOT_FLOOR))(A)
         return (L, D), (True, True)
@@ -245,7 +320,7 @@ def solve_ldlt_auto(L: jnp.ndarray, D: jnp.ndarray, b: jnp.ndarray):
 @solve_ldlt_auto.def_vmap
 def _solve_ldlt_auto_vmap(axis_size, in_batched, L, D, b):
     assert all(in_batched)
-    if not _pl_fits(L.shape[-1]):
+    if not _pl_fits(L.shape[-1], L.dtype):
         x = jax.vmap(solve_ldlt)(L, D, b)
         return x, True
     x = batched_solve_ldlt_pallas(L, D, b)

@@ -106,7 +106,7 @@ class SchurIPM:
                  axis: str = "dp", dtype=jnp.float64, tol: float = 1e-8,
                  max_iter: int = 100, fraction_to_boundary: float = 0.995,
                  delta: float = 1e-8, pivot_floor: float = PIVOT_FLOOR,
-                 refine: int = 1):
+                 refine: int = 1, block_kernel: str = "auto"):
         self.n, self.m_c = n, m_c
         self.mesh, self.axis = mesh, axis
         self.dtype = dtype
@@ -114,6 +114,23 @@ class SchurIPM:
         self.max_iter = max_iter
         self.ftb = fraction_to_boundary
         self.delta = delta
+        #: factor/solve kernel for the local H_b blocks:
+        #: 'pallas' = batched VMEM-resident LDL^T + multi-rhs solve
+        #: (ops/pallas_ldlt.py) — the TPU hot path (the column-loop XLA
+        #: lowering + vmapped TriangularSolve measured ~320 ms/iteration
+        #: at 64 blocks x n=64 on v5e, ~100x the useful work);
+        #: 'jnp' = the portable column-loop + triangular-solve path;
+        #: 'auto' = pallas on TPU when a lane tile fits VMEM, jnp
+        #: elsewhere (tests exercise the pallas path in interpreter mode
+        #: by passing block_kernel='pallas' explicitly).
+        if block_kernel not in ("auto", "pallas", "jnp"):
+            raise ValueError(f"unknown block_kernel={block_kernel!r}")
+        if block_kernel == "auto":
+            import jax as _jax
+            from ..ops.pallas_ldlt import _pl_fits
+            block_kernel = ("pallas" if _jax.default_backend() == "tpu"
+                            and _pl_fits(n, dtype) else "jnp")
+        self.block_kernel = block_kernel
         #: zero-pivot floor for BOTH factorisations each iteration — the
         #: local H_b = Q_b + barrier LDL^T and the coupling Schur system
         #: S (the same quasi-definite regularisation every other solver
@@ -130,17 +147,35 @@ class SchurIPM:
 
     # -- local (per-shard) pieces; `axis_name` is bound under shard_map --
 
-    def _local_newton(self, data, st, mu, corr=None):
-        """Assemble local residuals and Schur contributions.
+    def _factor_H(self, H):
+        """Factor the batch of local condensed blocks H_b once per
+        iteration (predictor AND corrector share it — H depends only on
+        the current iterate)."""
+        if self.block_kernel == "pallas":
+            from ..ops.pallas_ldlt import batched_ldlt_pallas
+            return batched_ldlt_pallas(H, self.pivot_floor)
+        return batched_ldlt(H, self.pivot_floor)
 
-        Returns (S_local, rS_local, pieces) where pieces carries what the
-        back-substitution needs. corr = (dx_aff, dz_l_aff, dz_u_aff) adds
+    def _solve_H(self, fact, r):
+        """(B, n) rhs solve against the factored H blocks."""
+        L, D = fact
+        if self.block_kernel == "pallas":
+            from ..ops.pallas_ldlt import batched_solve_ldlt_pallas
+            return batched_solve_ldlt_pallas(L, D, r)
+        return _ldlt_solve_batched(L, D, r)
+
+    def _solve_H_mat(self, fact, R):
+        """(B, n, k) multi-rhs solve against the factored H blocks."""
+        L, D = fact
+        if self.block_kernel == "pallas":
+            from ..ops.pallas_ldlt import batched_solve_ldlt_matrix_pallas
+            return batched_solve_ldlt_matrix_pallas(L, D, R)
+        return _ldlt_solve_batched_mat(L, D, R)
+
+    def _local_rhs(self, data, st, grad, fact, mu, corr=None):
+        """Residual vectors + the local H^{-1} r_x Schur contribution
+        for one solve phase.  corr = (dx_aff, dz_l_aff, dz_u_aff) adds
         the Mehrotra second-order correction."""
-        dt = self.dtype
-        # residuals of the condensed system
-        #   r_d = -(Q x + c + F^T nu - z_l + z_u)
-        grad = (jnp.einsum("bij,bj->bi", data.Q, st.x) + data.c +
-                jnp.einsum("bij,i->bj", data.F, st.nu) - st.z_l + st.z_u)
         # complementarity (with correction for the corrector phase)
         r_l = st.s_l * st.z_l - mu
         r_u = st.s_u * st.z_u - mu
@@ -148,23 +183,14 @@ class SchurIPM:
             dx_aff, dzl_aff, dzu_aff = corr
             r_l = r_l + dx_aff * dzl_aff          # ds_l = dx
             r_u = r_u + (-dx_aff) * dzu_aff       # ds_u = -dx
-        # condensed: H dx = r_x - F^T dnu.  H is SPD in exact arithmetic
-        # but near-active bounds push barrier diagonals to ~1/mu — a
-        # pivot-floored LDL^T (the framework's standard quasi-definite
-        # regularisation, ops/ldlt.py) keeps degenerate pivots bounded
-        # where a bare Cholesky would produce NaN columns.
-        H = data.Q + _diag_embed(st.z_l / st.s_l + st.z_u / st.s_u)
         r_x = -grad - r_l / st.s_l + r_u / st.s_u
-        Lf, Df = batched_ldlt(H, self.pivot_floor)
-        Hinv_rx = _ldlt_solve_batched(Lf, Df, r_x)
-        Hinv_FT = _ldlt_solve_batched_mat(Lf, Df, jnp.swapaxes(data.F, 1, 2))
-        S_local = jnp.einsum("bij,bjk->ik", data.F, Hinv_FT)
+        Hinv_rx = self._solve_H(fact, r_x)
         rS_local = jnp.einsum("bij,bj->i", data.F, Hinv_rx)
-        return S_local, rS_local, ((Lf, Df), r_x, Hinv_rx, Hinv_FT, r_l, r_u)
+        return rS_local, (Hinv_rx, r_l, r_u)
 
-    def _direction(self, data, st, pieces, dnu):
+    def _direction(self, data, st, Hinv_FT, pieces, dnu):
         """Back-substitute the block directions given the coupling dir."""
-        _, r_x, Hinv_rx, Hinv_FT, r_l, r_u = pieces
+        Hinv_rx, r_l, r_u = pieces
         dx = Hinv_rx - jnp.einsum("bij,j->bi", Hinv_FT, dnu)
         ds_l = dx
         ds_u = -dx
@@ -204,12 +230,23 @@ class SchurIPM:
         dt = self.dtype
         _, mu = self._metrics(data, st, axis_name)
 
-        # -- affine predictor --
-        S_l, rS_l, pieces = self._local_newton(data, st, jnp.asarray(0.0, dt))
+        # -- factor the local condensed blocks ONCE per iteration --
+        # H_b = Q_b + barrier diagonal is SPD in exact arithmetic but
+        # near-active bounds push barrier diagonals to ~1/mu — a
+        # pivot-floored LDL^T (the framework's standard quasi-definite
+        # regularisation, ops/ldlt.py) keeps degenerate pivots bounded
+        # where a bare Cholesky would produce NaN columns.  The gradient
+        # and H depend only on the current iterate, so predictor and
+        # corrector share the factorisation AND the H^{-1} F^T panel.
+        grad = (jnp.einsum("bij,bj->bi", data.Q, st.x) + data.c +
+                jnp.einsum("bij,i->bj", data.F, st.nu) - st.z_l + st.z_u)
+        H = data.Q + _diag_embed(st.z_l / st.s_l + st.z_u / st.s_u)
+        fact = self._factor_H(H)
+        Hinv_FT = self._solve_H_mat(fact, jnp.swapaxes(data.F, 1, 2))
+        S_l = jnp.einsum("bij,bjk->ik", data.F, Hinv_FT)
         S = self._psum(S_l, axis_name) + self.delta * jnp.eye(self.m_c, dtype=dt)
         r_c = self._psum(jnp.einsum("bij,bj->i", data.F, st.x),
                          axis_name) - data.g
-        rS = self._psum(rS_l, axis_name) if axis_name else rS_l
 
         # one pivot-floored factorisation of the coupling system, reused
         # by predictor and corrector, with iterative refinement: S carries
@@ -223,8 +260,12 @@ class SchurIPM:
                 x = x + solve_ldlt(Ls, Ds, rhs - S @ x)
             return x
 
+        # -- affine predictor --
+        rS_l, pieces = self._local_rhs(data, st, grad, fact,
+                                       jnp.asarray(0.0, dt))
+        rS = self._psum(rS_l, axis_name) if axis_name else rS_l
         dnu = solve_S(rS + r_c)
-        d_aff = self._direction(data, st, pieces, dnu)
+        d_aff = self._direction(data, st, Hinv_FT, pieces, dnu)
         alpha_aff = self._max_step(st, d_aff)
         if axis_name is not None:
             alpha_aff = jax.lax.pmin(alpha_aff, axis_name)
@@ -242,12 +283,12 @@ class SchurIPM:
                           0.0)
         mu_new = jnp.maximum(sigma * mu, jnp.asarray(self.mu_floor, dt))
 
-        # -- corrector (same factorisation; Mehrotra correction terms) --
-        S_l2, rS_l2, pieces2 = self._local_newton(
-            data, st, mu_new, corr=(dx, dzl, dzu))
+        # -- corrector (same factorisations; Mehrotra correction terms) --
+        rS_l2, pieces2 = self._local_rhs(data, st, grad, fact, mu_new,
+                                         corr=(dx, dzl, dzu))
         rS2 = self._psum(rS_l2, axis_name) if axis_name else rS_l2
         dnu2 = solve_S(rS2 + r_c)
-        d = self._direction(data, st, pieces2, dnu2)
+        d = self._direction(data, st, Hinv_FT, pieces2, dnu2)
         alpha = self._max_step(st, d)
         if axis_name is not None:
             alpha = jax.lax.pmin(alpha, axis_name)
@@ -296,16 +337,26 @@ class SchurIPM:
             residual=st.residual, gap=st.gap,
             converged=(st.residual < self.tol) & (st.gap < self.tol))
 
+    def _cache_key(self):
+        """Solver attributes the cached compiled programs close over —
+        mutating any of them after the first solve must invalidate the
+        jit cache, not silently reuse the stale program."""
+        return (id(self.mesh), self.axis, self.tol, self.max_iter,
+                self.refine, self.delta, self.pivot_floor, self.ftb,
+                self.block_kernel)
+
     def solve(self, data: BlockQPData) -> SchurResult:
         """Single-device (or fully local) solve; no collectives."""
         # the jitted loop is cached on the instance: a fresh jax.jit
         # wrapper per call would retrace AND recompile every time
         # (measured through the TPU tunnel: ~0.3 s/call, 100x the
-        # actual solve)
-        fn = getattr(self, "_solve_jit", None)
-        if fn is None:
-            fn = self._solve_jit = jax.jit(self._solve_loop)
-        st = fn(data)
+        # actual solve).  Keyed on the closed-over attributes so
+        # mutating e.g. tol or max_iter picks up a fresh program.
+        key = self._cache_key()
+        if getattr(self, "_solve_key", None) != key:
+            self._solve_jit = jax.jit(self._solve_loop)
+            self._solve_key = key
+        st = self._solve_jit(data)
         return self._finalise(data, st)
 
     def solve_sharded(self, data: BlockQPData) -> SchurResult:
@@ -324,12 +375,13 @@ class SchurIPM:
 
         out_specs = SchurState(x=blk, s_l=blk, s_u=blk, z_l=blk, z_u=blk,
                                nu=rep, iteration=rep, residual=rep, gap=rep)
-        fn = getattr(self, "_solve_sharded_jit", None)
-        if fn is None:
-            fn = self._solve_sharded_jit = jax.jit(
+        key = self._cache_key()
+        if getattr(self, "_solve_sharded_key", None) != key:
+            self._solve_sharded_jit = jax.jit(
                 jax.shard_map(local, mesh=mesh, in_specs=(in_specs,),
                               out_specs=out_specs, check_vma=False))
-        st = fn(data)
+            self._solve_sharded_key = key
+        st = self._solve_sharded_jit(data)
         # objective needs a global reduction; do it outside the shard_map
         obj = jnp.sum(0.5 * jnp.einsum("bi,bij,bj->b", st.x, data.Q, st.x) +
                       jnp.einsum("bi,bi->b", data.c, st.x))

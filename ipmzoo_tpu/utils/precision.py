@@ -53,4 +53,12 @@ def apply_default_matmul_precision() -> None:
         return
     if jax.config.jax_default_matmul_precision is not None:
         return  # the user already chose; don't fight them
-    jax.config.update("jax_default_matmul_precision", want)
+    try:
+        jax.config.update("jax_default_matmul_precision", want)
+    except Exception as e:  # unrecognized value (e.g. a typo in the env
+        # var) must not turn into an import crash of the whole library
+        import warnings
+        warnings.warn(
+            f"IPMZOO_MATMUL_PRECISION={want!r} not accepted by jax "
+            f"({e}); leaving the matmul precision at its default",
+            stacklevel=2)

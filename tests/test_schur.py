@@ -181,6 +181,34 @@ class TestIllConditioned:
                                    rtol=1e-8, atol=1e-8)
 
 
+class TestPallasBlockKernel:
+    """The TPU hot path factors/solves the local H_b blocks with the
+    batched Pallas kernels (block_kernel='pallas'); on CPU they run in
+    interpreter mode, so this pins pallas == jnp on the same problem
+    (small shapes — interpreter mode is slow)."""
+
+    def test_pallas_equals_jnp(self):
+        data = make_coupled(blocks=3, n=4, m_c=2, seed=11,
+                            dtype=jnp.float32)
+        kw = dict(dtype=jnp.float32, tol=1e-4)
+        res_j = SchurIPM(4, 2, block_kernel="jnp", **kw).solve(data)
+        res_p = SchurIPM(4, 2, block_kernel="pallas", **kw).solve(data)
+        assert bool(res_j.converged) and bool(res_p.converged)
+        np.testing.assert_allclose(np.asarray(res_p.x),
+                                   np.asarray(res_j.x), atol=1e-4)
+
+    def test_cache_invalidation_on_mutation(self):
+        # mutating tol after the first solve must recompile, not reuse
+        # the stale program (ADVICE r3)
+        data = make_coupled(blocks=2, n=3, m_c=1, seed=12)
+        ipm = SchurIPM(3, 1, tol=1e-2, max_iter=100)
+        r1 = ipm.solve(data)
+        ipm.tol = 1e-9
+        r2 = ipm.solve(data)
+        assert float(r2.residual) < 1e-9
+        assert int(r2.iterations) > int(r1.iterations)
+
+
 class TestSharded:
     def test_sharded_equals_local(self):
         n_dev = len(jax.devices())
