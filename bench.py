@@ -36,6 +36,24 @@ import sys
 import numpy as np
 
 REFERENCE_ITERS_PER_SEC = 662.0   # reference C++ on this host, n=16 m=8
+# reference LDL^T factor+solve measured at 2.88 GFLOP/s single-core on
+# this host (n=48 dense, its LinearSolvers driven by a timing harness)
+REFERENCE_LDLT_GFLOPS = 2.88
+
+
+def _ref_its_per_s(dim: int) -> float:
+    """Flop-derived reference iterations/s on a given config.
+
+    The reference solves ONE instance at a time, factoring the dense
+    augmented KKT (dimension ``dim``) once per IPM iteration with its
+    single-threaded LDL^T (/root/reference/src/NumericalOptimization/
+    LinearSolvers.cpp:14-74) measured at REFERENCE_LDLT_GFLOPS on this
+    host; per-iteration flops = factor (2/3 dim^3) + two solves
+    (4 dim^2 each).  This makes ``vs_baseline`` a same-config
+    apples-to-apples ratio on every engine instead of comparing e.g.
+    n=1024 solves against the reference's 2-variable demo."""
+    flops = 2.0 * dim ** 3 / 3.0 + 2 * 4.0 * dim ** 2
+    return REFERENCE_LDLT_GFLOPS * 1e9 / flops
 
 BATCH = int(os.environ.get("BENCH_BATCH", 10240))
 N = int(os.environ.get("BENCH_N", 16))
@@ -92,7 +110,7 @@ def bench_solve(data, backend):
     label = (f"IPM iterations/s, {BATCH} batched QPs FULLY SOLVED to "
              f"tol={TOL:g} ({conv * 100:.2f}% converged, compacted "
              f"batch, n={N}, m={M_INEQ}, {backend})")
-    return label, iters / t
+    return label, iters / t, "iterations/s", REFERENCE_ITERS_PER_SEC
 
 
 def bench_steps(data, backend):
@@ -123,7 +141,7 @@ def bench_steps(data, backend):
     label = (f"IPM iterations/s, {BATCH} batched QPs, vmapped step "
              f"(convergence-gated at {conv * 100:.2f}%, n={N}, "
              f"m={M_INEQ}, {backend})")
-    return label, BATCH * K / t
+    return label, BATCH * K / t, "iterations/s", REFERENCE_ITERS_PER_SEC
 
 
 def bench_sharded(data, backend):
@@ -142,7 +160,8 @@ def bench_sharded(data, backend):
              f"{report.n_devices} device(s), strong-scaling efficiency "
              f"{100 * report.efficiency:.1f}% vs 1 device "
              f"(n={N}, m={M_INEQ}, {backend})")
-    return label, report.iters_per_s_ndev
+    return (label, report.iters_per_s_ndev, "iterations/s",
+            REFERENCE_ITERS_PER_SEC)
 
 
 def bench_fused(data, backend):
@@ -169,7 +188,7 @@ def bench_fused(data, backend):
              f"tol={TOL:g} in the compaction-scheduled fused Pallas "
              f"engine + anti-cycling tail ({conv * 100:.2f}% converged, "
              f"n={N}, m={M_INEQ}, {backend})")
-    return label, iters / t
+    return label, iters / t, "iterations/s", REFERENCE_ITERS_PER_SEC
 
 
 def bench_mpc(backend):
@@ -196,7 +215,10 @@ def bench_mpc(backend):
     label = (f"IPM iterations/s, {batch} structured MPC QPs fully solved "
              f"(Riccati, T={T}, ns={ns}, nu={nu}, {backend}, "
              f"{conv * 100:.1f}% converged)")
-    return label, iters / t
+    # reference baseline: the same MPC posed densely over the horizon
+    # (states + dynamics duals + controls, dim ~ T*(2 ns + nu)) and
+    # factored by its measured-GFLOP/s dense LDL^T each iteration
+    return label, iters / t, "iterations/s", _ref_its_per_s(T * (2 * ns + nu))
 
 
 def bench_arrow(backend):
@@ -266,7 +288,7 @@ def bench_arrow(backend):
              f"(n={n}, bandwidth={b}, tip={t}, {backend}; "
              f"{t_arrow * 1e3:.2f} ms vs {t_dense * 1e3:.1f} ms per "
              f"iteration)")
-    return label, speedup, "x speedup"
+    return label, speedup, "x speedup", 1.0
 
 
 def bench_nd(backend):
@@ -310,7 +332,7 @@ def bench_nd(backend):
              f"(2D-grid QP, n={n}, leaf={leaf}, {backend}; "
              f"{t_nd * 1e3:.2f} ms vs {t_dense * 1e3:.1f} ms per "
              f"iteration)")
-    return label, speedup, "x speedup"
+    return label, speedup, "x speedup", 1.0
 
 
 def bench_tf(data, backend):
@@ -338,7 +360,7 @@ def bench_tf(data, backend):
              f"reference-parity tol={tol:g} in pure-f32 two-float "
              f"arithmetic ({conv * 100:.2f}% converged, n={N}, "
              f"m={M_INEQ}, {backend})")
-    return label, iters / t
+    return label, iters / t, "iterations/s", REFERENCE_ITERS_PER_SEC
 
 
 def bench_normal(backend):
@@ -361,6 +383,17 @@ def bench_normal(backend):
     data = make_batch(B, n, m, jnp.float32)
     tol = float(os.environ.get("BENCH_NORMAL_TOL", 1e-5))
 
+    # per-iteration flops of each staging of the reduction, for the
+    # GFLOP/s side-channel: 'normal' binds an explicit H^{-1} (factor +
+    # n-rhs solve) then condenses; 'block' runs the same elimination as
+    # blocked Cholesky factorisations without the explicit inverse
+    it_flops = {
+        "normal": 2 * (n ** 3 / 3 + n ** 3 + n * n * m + m * m * n
+                       + m ** 3 / 3),
+        "block": 2 * (n ** 3 / 3 + n * n * m + m * m * n + m ** 3 / 3
+                      + 2 * (n * n + n * m + m * m)),
+    }
+
     def run(kernel):
         from ipmzoo_tpu.formulations import Settings
         from ipmzoo_tpu.models import CompiledIPM
@@ -371,28 +404,38 @@ def bench_normal(backend):
         conv = float(jnp.mean(res.converged.astype(jnp.float32)))
         iters = float(jnp.sum(res.iterations.astype(jnp.float32)))
         t = measure_call(s.solve_batch, data)
-        return conv, iters, t
+        return conv, iters, t, s.aug_dim
 
-    conv, iters, t = run("normal")
-    if conv < 0.99:
-        raise RuntimeError(f"normal-equations convergence too low: {conv}")
-    # per-iteration flops of the condensed path (factor H + explicit
-    # H^{-1} + condensed assembly/factor), for the GFLOP/s side-channel
-    it_flops = 2 * (n ** 3 / 3 + n ** 3 + n * n * m + m * m * n
-                    + m ** 3 / 3)
-    gflops = iters * it_flops / t / 1e9
-    try:
-        bconv, biters, bt = run("block")
-        print(f"normal vs block on the same {B} QPs (n={n}, m={m}): "
-              f"{iters / t:.0f} it/s vs {biters / bt:.0f} it/s "
-              f"({bconv * 100:.1f}% conv)", file=sys.stderr)
-    except Exception as e:          # comparison is informative only
-        print(f"block comparison failed: {e}", file=sys.stderr)
+    # Both numerically-equivalent stagings of the normal-equations
+    # reduction run and the WINNER is benched: kernel='normal' (symbolic
+    # condensed system consuming the reduction the reference derives but
+    # never solves, /root/reference/src/SymbolicOptimization.cpp:465-478)
+    # and kernel='block' (the same elimination executed as block-level
+    # Cholesky + Schur on the MXU, ops/block_solve.py).
+    results = {}
+    for kernel in ("block", "normal"):
+        try:
+            results[kernel] = run(kernel)
+        except Exception as e:
+            print(f"kernel={kernel} failed: {e}", file=sys.stderr)
+    ok = {k: (c, i, t, d) for k, (c, i, t, d) in results.items()
+          if c >= 0.99}
+    if not ok:
+        raise RuntimeError(f"no normal-equations kernel converged: "
+                           f"{ {k: v[0] for k, v in results.items()} }")
+    print("normal-equations stagings on the same "
+          f"{B} QPs (n={n}, m={m}): " +
+          ", ".join(f"{k}: {i / t:.0f} it/s ({c * 100:.1f}% conv)"
+                    for k, (c, i, t, d) in results.items()),
+          file=sys.stderr)
+    kernel = max(ok, key=lambda k: ok[k][1] / ok[k][2])
+    conv, iters, t, aug_dim = ok[kernel]
+    gflops = iters * it_flops[kernel] / t / 1e9
     label = (f"IPM iterations/s, {B} dense QPs (n={n}, m={m}) FULLY "
              f"SOLVED to rel tol={tol:g} via the normal-equations "
-             f"reduction, kernel='normal' ({conv * 100:.1f}% converged, "
-             f"~{gflops:.0f} GFLOP/s, {backend})")
-    return label, iters / t
+             f"reduction, kernel='{kernel}' ({conv * 100:.1f}% "
+             f"converged, ~{gflops:.0f} GFLOP/s, {backend})")
+    return label, iters / t, "iterations/s", _ref_its_per_s(aug_dim)
 
 
 def bench_aug(backend):
@@ -444,7 +487,7 @@ def bench_aug(backend):
              f"m_ineq={m}, m_eq={me}) FULLY SOLVED to rel tol={tol:g} "
              f"via the augmented system + iterative refinement "
              f"(refine=2, {conv * 100:.1f}% converged, {backend})")
-    return label, iters / t
+    return label, iters / t, "iterations/s", _ref_its_per_s(s.aug_dim)
 
 
 def bench_schur(backend):
@@ -482,7 +525,10 @@ def bench_schur(backend):
              f"({blocks} blocks x n={n}, m_c={m_c}) via the "
              f"Schur-complement IPM, fully solved in {int(iters)} "
              f"iterations ({backend})")
-    return label, iters / t
+    # reference baseline: the monolithic dense KKT of the coupled QP
+    # (blocks*n primal + m_c coupling duals) at its measured GFLOP/s
+    return (label, iters / t, "iterations/s",
+            _ref_its_per_s(blocks * n + m_c))
 
 
 def bench_kkt(data, backend):
@@ -521,7 +567,7 @@ def bench_kkt(data, backend):
     gflops = flops / t / 1e9
     label = (f"batched KKT LDL^T factor+solve, {B} systems of dim {n} "
              f"({backend}, Pallas)")
-    return label, gflops, "GFLOP/s"
+    return label, gflops, "GFLOP/s", REFERENCE_LDLT_GFLOPS
 
 
 def main(force_cpu: bool = False):
@@ -543,38 +589,34 @@ def main(force_cpu: bool = False):
     backend = jax.default_backend()
     data = make_batch(BATCH, N, M_INEQ, jnp.float32)
     mode = os.environ.get("BENCH_MODE", "solve")
-    unit = "iterations/s"
-    baseline = REFERENCE_ITERS_PER_SEC
+    # every engine returns (label, value, unit, baseline); baselines are
+    # per-config (measured 662 it/s for the reference's own n=16 QP
+    # class, flop-derived via _ref_its_per_s elsewhere)
     if mode == "fused" and backend == "tpu":
-        label, value = bench_fused(data, backend)
+        rec = bench_fused(data, backend)
     elif mode == "sharded":
-        label, value = bench_sharded(data, backend)
+        rec = bench_sharded(data, backend)
     elif mode == "mpc":
-        label, value = bench_mpc(backend)
+        rec = bench_mpc(backend)
     elif mode == "arrow":
-        label, value, unit = bench_arrow(backend)
-        baseline = 1.0   # speedup is already relative to the dense path
+        rec = bench_arrow(backend)
     elif mode == "kkt":
-        label, value, unit = bench_kkt(data, backend)
-        # reference LDL^T factor+solve measured at 2.88 GFLOP/s
-        # single-core on this host (n=48 dense, its LinearSolvers
-        # driven by a timing harness)
-        baseline = 2.88
+        rec = bench_kkt(data, backend)
     elif mode == "nd":
-        label, value, unit = bench_nd(backend)
-        baseline = 1.0   # speedup is already relative to the dense path
+        rec = bench_nd(backend)
     elif mode == "schur":
-        label, value = bench_schur(backend)
+        rec = bench_schur(backend)
     elif mode == "tf":
-        label, value = bench_tf(data, backend)
+        rec = bench_tf(data, backend)
     elif mode == "normal":
-        label, value = bench_normal(backend)
+        rec = bench_normal(backend)
     elif mode == "aug":
-        label, value = bench_aug(backend)
+        rec = bench_aug(backend)
     elif mode == "steps":
-        label, value = bench_steps(data, backend)
+        rec = bench_steps(data, backend)
     else:
-        label, value = bench_solve(data, backend)
+        rec = bench_solve(data, backend)
+    label, value, unit, baseline = rec
 
     print(json.dumps({
         "metric": label,

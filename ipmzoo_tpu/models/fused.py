@@ -681,21 +681,52 @@ class FusedBatchedIPM(CompiledIPM):
         return esc
 
     def _escalate_tail(self, data: QPData, out, esc_cap: int,
-                       esc_iters: int, esc_gondzio: int):
+                       esc_iters: int, esc_gondzio: int,
+                       esc_warm: bool = True):
         """Re-solve the residual-stuck stragglers in two-float pairs.
 
         Runs inside the same jit as the fused stages.  When every
         instance already converged the masked while-loop exits at its
         first condition check, so the converged-batch cost is one
         vmapped metrics evaluation — the stage is effectively free
-        unless it has work to do."""
+        unless it has work to do.
+
+        ``esc_warm`` starts the pair solver FROM THE FUSED ITERATE
+        (hi = f32 value, lo = 0): the instances this stage exists for
+        are at the f32 representation floor — already essentially
+        optimal, just unable to express a residual below
+        ~eps_f32*||Qx|| — so warm pair refinement converges them in a
+        couple of iterations where the cold restart re-ran the whole
+        ~12-iteration solve in (~8x-cost) pair arithmetic.  Cold
+        restart (esc_warm=False) remains for anti-cycling robustness;
+        the XLA Gondzio safety-net tail after this stage cold-restarts
+        anything still unconverged either way."""
         B = data.Q.shape[0]
         cap = min(esc_cap, B)
         esc = self._escalation_solver()
         take = jnp.argsort(out["converged"])[:cap]
         e_data = jax.tree_util.tree_map(lambda a: a[take], data)
         e_was = out["converged"][take]
-        e_state = jax.vmap(esc.init_state)(e_data)
+        if esc_warm:
+            from .ipm import IPMState
+            offs = np.cumsum([0] + list(self.var_sizes))
+            vals = tuple(
+                jnp.stack([out["variables"][take][:, o:o + s],
+                           jnp.zeros((cap, s), self.dtype)], axis=1)
+                for o, s in zip(offs[:-1], self.var_sizes))
+
+            def metrics_one(d, vs):
+                return esc._metrics(esc._envm(d, vs, 0.0))
+
+            residual, gap = jax.vmap(metrics_one)(e_data, vals)
+            e_state = IPMState(
+                vars=vals,
+                mu=jnp.maximum(out["mu"][take],
+                               jnp.asarray(esc.mu_floor, self.dtype)),
+                iteration=jnp.zeros((cap,), jnp.int32),
+                residual=residual, gap=gap)
+        else:
+            e_state = jax.vmap(esc.init_state)(e_data)
         e_tol = jnp.full((cap,), self.tol, self.dtype)
         e_state, e_div = esc._masked_while(
             e_state, e_data, e_was, e_tol, esc_iters,
@@ -810,7 +841,7 @@ class FusedBatchedIPM(CompiledIPM):
     def _compact_fused_impl(self, data: QPData, schedule, tail_cap: int,
                             tail_iters: int, tail_gondzio: int,
                             fused_tail: bool = False, esc_cap: int = 0,
-                            esc_iters: int = 40):
+                            esc_iters: int = 40, esc_warm: bool = True):
         """Staged fused solve: run the full batch for a few iterations,
         then gather the unconverged stragglers into ever-smaller batches
         and RESUME them (warm-started kernel) with more budget.
@@ -871,18 +902,27 @@ class FusedBatchedIPM(CompiledIPM):
                     use.reshape((-1,) + (1,) * (src.ndim - 1)),
                     src, out[f][take])
                 out[f] = out[f].at[take].set(upd)
-        out = self._gondzio_tail(data, out, tail_cap, tail_iters,
-                                 tail_gondzio)
+        # Escalation BEFORE the XLA Gondzio safety net: the instances
+        # left unconverged here are overwhelmingly f32-representation-
+        # floor cases (the fused Gondzio stage above already cold-
+        # restarted the cyclers), and a floor-stuck lane would churn
+        # through all tail_iters f32 Gondzio steps without ever
+        # converging — measured as most of the r3 tol-1e-6 headline
+        # regression.  The Gondzio tail stays LAST as the safety net;
+        # its early-exit masked while costs one gather + one vmapped
+        # metrics evaluation when the escalation left nothing behind.
         if esc_cap:
             out = self._escalate_tail(data, out, esc_cap, esc_iters,
-                                      tail_gondzio)
+                                      tail_gondzio, esc_warm=esc_warm)
+        out = self._gondzio_tail(data, out, tail_cap, tail_iters,
+                                 tail_gondzio)
         return out
 
     def solve_fused_compact(self, data: QPData, schedule=None,
                             tail_cap: int = 128, tail_iters: int = 30,
                             tail_gondzio: int = 2,
                             fused_tail: bool = True, esc_cap: int = 32,
-                            esc_iters: int = 40):
+                            esc_iters: int = 40, esc_warm: bool = True):
         """Compaction-scheduled fused solve (see
         :meth:`_compact_fused_impl`).  Default schedule: most of the
         batch converges within ~9 iterations; stragglers resume in a
@@ -895,7 +935,8 @@ class FusedBatchedIPM(CompiledIPM):
             data, = self._pad_batch(B, (data,))
             out = self.solve_fused_compact(data, schedule, tail_cap,
                                            tail_iters, tail_gondzio,
-                                           fused_tail, esc_cap, esc_iters)
+                                           fused_tail, esc_cap, esc_iters,
+                                           esc_warm)
             return {k: v[:B] for k, v in out.items()}
         if schedule is None:
             if B <= 2 * self.bt:
@@ -911,7 +952,7 @@ class FusedBatchedIPM(CompiledIPM):
                 schedule = [(k0, 1),
                             (max(self.max_iter - k0, 1), 8)]
         key = (B, tuple(schedule), tail_cap, tail_iters, tail_gondzio,
-               fused_tail, esc_cap, esc_iters)
+               fused_tail, esc_cap, esc_iters, esc_warm)
         cache = getattr(self, "_compactf_cache", None)
         if cache is None:
             cache = self._compactf_cache = {}
@@ -920,5 +961,6 @@ class FusedBatchedIPM(CompiledIPM):
                 self._compact_fused_impl, schedule=tuple(schedule),
                 tail_cap=tail_cap, tail_iters=tail_iters,
                 tail_gondzio=tail_gondzio, fused_tail=fused_tail,
-                esc_cap=esc_cap, esc_iters=esc_iters))
+                esc_cap=esc_cap, esc_iters=esc_iters,
+                esc_warm=esc_warm))
         return cache[key](data)

@@ -44,50 +44,23 @@ from ..symbolic import expr as E
 from . import codegen as cg
 from .data import QPData
 
+from .compact import CompactScheduleMixin
+from .directions import DirectionsMixin
+from .kernels import KernelDispatchMixin
+from .state import IPMState, SolveResult
 
-@jax.tree_util.register_pytree_node_class
-@dataclasses.dataclass
-class SolveResult:
-    x: jnp.ndarray
-    variables: dict          # name -> value for every KKT variable
-    objective: jnp.ndarray
-    iterations: jnp.ndarray
-    residual: jnp.ndarray
-    gap: jnp.ndarray
-    converged: jnp.ndarray
-    diverged: jnp.ndarray    # numerical failure (NaN/inf) detected
-
-    def tree_flatten(self):
-        return ((self.x, self.variables, self.objective, self.iterations,
-                 self.residual, self.gap, self.converged,
-                 self.diverged), None)
-
-    @classmethod
-    def tree_unflatten(cls, aux, leaves):
-        return cls(*leaves)
+__all__ = ["CompiledIPM", "IPMState", "SolveResult"]
 
 
-@jax.tree_util.register_pytree_node_class
-@dataclasses.dataclass
-class IPMState:
-    """Carry of the on-device iteration loop."""
-    vars: tuple              # per-variable arrays, in system order
-    mu: jnp.ndarray
-    iteration: jnp.ndarray
-    residual: jnp.ndarray
-    gap: jnp.ndarray
+class CompiledIPM(KernelDispatchMixin, DirectionsMixin,
+                  CompactScheduleMixin):
+    """A formulation + problem-size specialised, fully staged IPM solver.
 
-    def tree_flatten(self):
-        return ((self.vars, self.mu, self.iteration, self.residual,
-                 self.gap), None)
-
-    @classmethod
-    def tree_unflatten(cls, aux, leaves):
-        return cls(*leaves)
-
-
-class CompiledIPM:
-    """A formulation + problem-size specialised, fully staged IPM solver."""
+    The per-iteration factor/solve staging lives in
+    :class:`.kernels.KernelDispatchMixin`, the residual/corrector/line-
+    search staging in :class:`.directions.DirectionsMixin`, and the
+    compaction-scheduled batch engines in
+    :class:`.compact.CompactScheduleMixin`."""
 
     def __init__(self, settings: Settings, n: int, m_ineq: int = 0,
                  m_eq: int = 0, *, names: VariableNames = VariableNames(),
@@ -431,71 +404,6 @@ class CompiledIPM:
         self._step_jit = jax.jit(self._step_impl)
 
     # ------------------------------------------------------------------
-    # normal-equations support
-    # ------------------------------------------------------------------
-
-    def _collect_matrix_inverts(self):
-        """All distinct Invert subexpressions over dense-matrix operands
-        in the condensed system (lhs cells, rhs, delta definitions).
-
-        Eliminating the leading Q/x block introduces H^{-1} with
-        H = aug.lhs[0][0] (a Sum containing the symmetric matrix Q);
-        elementwise inversion is unsound for those, so the solver binds a
-        factored inverse per iteration instead."""
-        K = E.Kind
-        seen, out = set(), []
-        hm_memo = {}
-
-        def has_matrix(e):
-            # memoised: the expression DAG is hash-consed with heavy
-            # sharing, so unmemoised recursion is exponential
-            hit = hm_memo.get(e)
-            if hit is not None:
-                return hit
-            r = (e.kind in (K.MATRIX, K.SYMMETRIC_MATRIX) or
-                 any(has_matrix(c) for c in e.children))
-            hm_memo[e] = r
-            return r
-
-        def walk(e):
-            if e in seen:
-                return
-            seen.add(e)
-            if E.is_invert(e) and has_matrix(e.child):
-                out.append(e)
-            for c in e.children:
-                walk(c)
-
-        for row in self.red.lhs:
-            for cell in row:
-                walk(cell)
-        for r in self.red.rhs:
-            walk(r)
-        for _, d in self.red.delta_definitions:
-            walk(d)
-        return out
-
-    def _bind_matrix_inverts(self, env: cg.Env) -> None:
-        """Evaluate each dense-matrix inverse once (LDL^T with the pivot
-        floor + solve against I) and bind it into ``env`` IN PLACE, so
-        every later evaluation of the condensed system short-circuits on
-        the env hit.  The explicit inverse turns all downstream condensed
-        algebra (A H^{-1} A^T, H^{-1} r) into plain matmuls — the
-        MXU-friendly staging of the classical normal-equations recipe."""
-        from ..ops.blocked_ldlt import ldlt_blocked
-        for ie in self._matrix_inverts:
-            if ie in env:
-                continue
-            child = cg.evaluate(ie.child, env, {})
-            if child.tag != "matrix":
-                env[ie] = cg.invert_tv(child)
-                continue
-            H = child.val
-            L, D = ldlt_blocked(H, self.pivot_floor)
-            eye = jnp.eye(H.shape[0], dtype=H.dtype)
-            env[ie] = cg.matrix(solve_ldlt(L, D, eye))
-
-    # ------------------------------------------------------------------
     # environment plumbing
     # ------------------------------------------------------------------
 
@@ -637,478 +545,6 @@ class CompiledIPM:
                 acc = acc + jnp.sum(jnp.abs(v))
         return acc / comp_size
 
-    def _assemble_blocks(self, env):
-        """Evaluate each cell of the consumed reduction (augmented system,
-        or the condensed normal equations for kernel='normal') as a dense
-        block."""
-        memo = {}
-        blocks = []
-        for i, vi in enumerate(self.red.variables):
-            si = self.red_sizes[i]
-            row_blocks = []
-            for j, vj in enumerate(self.red.variables):
-                sj = self.red_sizes[j]
-                cell = self.red.lhs[i][j]
-                if cell is E.ZERO:
-                    row_blocks.append(jnp.zeros((si, sj), self.dtype))
-                else:
-                    row_blocks.append(
-                        cg.as_block(cg.evaluate(cell, env, memo), si, sj))
-            blocks.append(row_blocks)
-        return blocks
-
-    def _assemble_kkt(self, env):
-        blocks = self._assemble_blocks(env)
-        rows = [jnp.concatenate(rb, axis=1) if len(rb) > 1 else rb[0]
-                for rb in blocks]
-        return jnp.concatenate(rows, axis=0) if len(rows) > 1 else rows[0]
-
-    def _assemble_kkt_df(self, env):
-        """Two-float assembly of the consumed reduction: every cell is
-        evaluated as an (hi, lo) pair (codegen_df) so barrier diagonals
-        like lambda/s carry pair-relative accuracy into the
-        factorisation."""
-        from . import codegen_df as cgdf
-        memo = {}
-        rows_h, rows_l = [], []
-        for i, vi in enumerate(self.red.variables):
-            si = self.red_sizes[i]
-            rbh, rbl = [], []
-            for j, vj in enumerate(self.red.variables):
-                sj = self.red_sizes[j]
-                cell = self.red.lhs[i][j]
-                if cell is E.ZERO:
-                    z = jnp.zeros((si, sj), self.dtype)
-                    rbh.append(z)
-                    rbl.append(z)
-                else:
-                    bh, bl = cgdf.as_block(
-                        cgdf.evaluate(cell, env, memo), si, sj)
-                    rbh.append(bh)
-                    rbl.append(bl)
-            rows_h.append(jnp.concatenate(rbh, axis=1)
-                          if len(rbh) > 1 else rbh[0])
-            rows_l.append(jnp.concatenate(rbl, axis=1)
-                          if len(rbl) > 1 else rbl[0])
-        Kh = jnp.concatenate(rows_h, axis=0) if len(rows_h) > 1 \
-            else rows_h[0]
-        Kl = jnp.concatenate(rows_l, axis=0) if len(rows_l) > 1 \
-            else rows_l[0]
-        return Kh, Kl
-
-    def _residual_fn(self, K):
-        """b - K sol for refinement: plain, or two-float compensated."""
-        if self.hybrid_refine:
-            from ..ops.twofloat import comp_residual
-            return lambda b, sol: comp_residual(b, K, sol)
-        return lambda b, sol: b - K @ sol
-
-    def _make_solve(self, env):
-        """Factor the augmented KKT once; return solve(b) -> sol with
-        optional iterative refinement baked in."""
-        if self._mode == "tf":
-            # double-single assembly + factorisation; solve consumes and
-            # returns (hi, lo) PAIRS.  Indefinite systems get the signed
-            # proximal regularisation of 'regldlt' (the pair analogue:
-            # delta ~ eps_pair^(2/3)) with pair refinement against the
-            # true K removing the perturbation.
-            from ..ops.ldlt_df import ldlt_df, solve_ldlt_df
-            from ..ops.twofloat import df_add, df_matvec, df_neg
-            Kh, Kl = self._assemble_kkt_df(env)
-            if self._indefinite:
-                eps_pair = 2.0 ** -48
-                scale = jnp.maximum(
-                    jnp.asarray(1.0, self.dtype),
-                    jnp.max(jnp.abs(jnp.diagonal(Kh))))
-                delta = jnp.asarray(eps_pair ** (2.0 / 3.0),
-                                    self.dtype) * scale
-                signs = jnp.asarray(self._sign_vec, self.dtype)
-                pert = jnp.diag(delta * signs)
-                Frh, Frl = df_add((Kh, Kl), (pert, jnp.zeros_like(pert)))
-                nref = max(self.refine, 3)
-            else:
-                Frh, Frl = Kh, Kl
-                nref = self.refine
-            Lh, Ll, Dh, Dl = ldlt_df(Frh, Frl, self.pivot_floor)
-
-            def solve(b):
-                bh, bl = b
-                if bh.shape[0] == 0:
-                    return b
-                sol = solve_ldlt_df(Lh, Ll, Dh, Dl, bh, bl)
-                for _ in range(nref):
-                    r = df_add((bh, bl),
-                               df_neg(df_matvec((Kh, Kl), sol)))
-                    c = solve_ldlt_df(Lh, Ll, Dh, Dl, r[0], r[1])
-                    sol = df_add(sol, c)
-                return sol
-
-            return solve
-
-        if self._mode == "sharded":
-            from ..ops.sharded_ldlt import sharded_ldlt, sharded_ldlt_solve
-            K = self._assemble_kkt(env)
-            dim, pdim = self.red_dim, self._sharded_dim
-            if pdim != dim:
-                Kp = jnp.eye(pdim, dtype=self.dtype).at[:dim, :dim].set(K)
-            else:
-                Kp = K
-            factors = sharded_ldlt(Kp, self._mesh, axis=self._mesh_axis,
-                                   panel=self._sharded_panel,
-                                   pivot_floor=self.pivot_floor)
-            resid = self._residual_fn(K)
-
-            def _one(r):
-                rp = (jnp.zeros((pdim,), self.dtype).at[:dim].set(r)
-                      if pdim != dim else r)
-                sol = sharded_ldlt_solve(factors, rp, self._mesh,
-                                         axis=self._mesh_axis,
-                                         panel=self._sharded_panel)
-                return sol[:dim]
-
-            def solve(b):
-                if b.shape[0] == 0:
-                    return b
-                sol = _one(b)
-                for _ in range(self.refine):
-                    sol = sol + _one(resid(b, sol))
-                return sol
-
-            return solve
-
-        if self._mode == "lu":
-            from jax.scipy.linalg import lu_factor, lu_solve
-            K = self._assemble_kkt(env)
-            factors = lu_factor(K)
-            resid = self._residual_fn(K)
-
-            def solve(b):
-                if b.shape[0] == 0:
-                    return b
-                sol = lu_solve(factors, b)
-                for _ in range(self.refine):
-                    sol = sol + lu_solve(factors, resid(b, sol))
-                return sol
-
-            return solve
-
-        if self._mode == "regldlt":
-            # signed proximal regularisation K + delta * diag(signs):
-            # the perturbed system is quasi-definite (Vanderbei 1995), so
-            # the unpivoted batched LDL^T kernels are sound; refinement
-            # against the TRUE K removes the O(delta) perturbation.  The
-            # contraction factor per sweep is ~delta*||K^{-1}||*scale, so
-            # eps^{2/3} reaches the dtype floor in <= 3 sweeps for
-            # moderately conditioned systems.
-            K = self._assemble_kkt(env)
-            eps = float(jnp.finfo(self.dtype).eps)
-            scale = jnp.maximum(jnp.asarray(1.0, self.dtype),
-                                jnp.max(jnp.abs(jnp.diagonal(K))))
-            delta = jnp.asarray(eps ** (2.0 / 3.0), self.dtype) * scale
-            signs = jnp.asarray(self._sign_vec, self.dtype)
-            Kr = K + jnp.diag(delta * signs)
-            L, D = self._factor(Kr)
-            resid = self._residual_fn(K)
-            nref = max(self.refine, 3)
-
-            def solve(b):
-                if b.shape[0] == 0:
-                    return b
-                sol = self._solve_kernel(L, D, b)
-                for _ in range(nref):
-                    sol = sol + self._solve_kernel(L, D, resid(b, sol))
-                return sol
-
-            return solve
-
-        if self._mode == "blockg":
-            from ..ops.blockg import (blockg_factor, blockg_matvec,
-                                      blockg_solve)
-            blocks = self._assemble_blocks(env)
-            factors = blockg_factor(blocks, self.group_signs)
-            offs = []
-            off = 0
-            for s in self.aug_sizes:
-                offs.append(off)
-                off += s
-
-            if self.hybrid_refine and self.refine:
-                resid = self._residual_fn(self._assemble_kkt(env))
-            else:
-                def resid(b, sol):
-                    parts = [sol[o:o + s]
-                             for o, s in zip(offs, self.aug_sizes)]
-                    return b - jnp.concatenate(
-                        blockg_matvec(blocks, parts))
-
-            def solve(b):
-                if b.shape[0] == 0:
-                    return b
-                sol = blockg_solve(factors, b)
-                for _ in range(self.refine):
-                    sol = sol + blockg_solve(factors, resid(b, sol))
-                return sol
-
-            return solve
-
-        if self._mode == "block":
-            from ..ops.block_solve import (block2_factor, block2_matvec,
-                                           block2_solve)
-            blocks = self._assemble_blocks(env)
-            H, BT = blocks[0][0], blocks[0][1]
-            B, negC = blocks[1][0], blocks[1][1]
-            C = -negC
-            factors = block2_factor(H, B, C)
-            n1 = self.aug_sizes[0]
-            if self.hybrid_refine and self.refine:
-                resid = self._residual_fn(self._assemble_kkt(env))
-            else:
-                def resid(b, sol):
-                    e1, e2 = block2_matvec(H, B, C, sol[:n1], sol[n1:])
-                    return b - jnp.concatenate([e1, e2])
-
-            def solve(b):
-                dx, dy = block2_solve(factors, b[:n1], b[n1:])
-                sol = jnp.concatenate([dx, dy])
-                for _ in range(self.refine):
-                    r = resid(b, sol)
-                    cx, cy = block2_solve(factors, r[:n1], r[n1:])
-                    sol = sol + jnp.concatenate([cx, cy])
-                return sol
-
-            return solve
-
-        if self._mode == "nd":
-            from ..ops.ndiss import nd_factor, nd_solve
-            if self._nd_plan is None:
-                raise RuntimeError(
-                    "kernel='nd' has no dissection plan; pass nd_pattern= "
-                    "to the constructor or call solve()/solve_batch() "
-                    "(which derive it from the data) before step()")
-            K = self._assemble_kkt(env)
-            factors = nd_factor(K, self._nd_plan, self.pivot_floor)
-            resid = self._residual_fn(K)
-            plan = self._nd_plan
-
-            def solve(b):
-                if b.shape[0] == 0:
-                    return b
-                sol = nd_solve(plan, factors, b)
-                for _ in range(self.refine):
-                    sol = sol + nd_solve(plan, factors, resid(b, sol))
-                return sol
-
-            return solve
-
-        if self._mode == "normal":
-            # bind H^{-1} first (mutates env: the residual/corrector envs
-            # derive from this env by dict copy, so the binding propagates
-            # to every rhs / delta-definition evaluation this iteration)
-            self._bind_matrix_inverts(env)
-
-        K = self._assemble_kkt(env)
-        L, D = self._factor(K)
-        resid = self._residual_fn(K)
-
-        def solve(b):
-            if b.shape[0] == 0:
-                return b
-            sol = self._solve_kernel(L, D, b)
-            for _ in range(self.refine):
-                sol = sol + self._solve_kernel(L, D, resid(b, sol))
-            return sol
-
-        return solve
-
-    def _build_symbolic_corrector(self):
-        """Exact quadratic Taylor remainder of each complementarity row
-        as a simplified expression in the affine-delta symbols:
-
-            rem_i = simplify(def_i(v + Delta) - def_i(v)
-                             - sum_j lhs[i][j] Delta_j)
-
-        All residual rows are polynomials of degree <= 2 in the
-        variables, so the formula is exact by construction; simplify
-        cancels the degree-<=1 parts, leaving a handful of elementwise
-        ops (e.g. ``(diag(Dg + g) - G)(Dl + l) - Lambda Dg``) instead of
-        two extra full-row evaluations plus the Jacobian-delta
-        accumulation per corrector phase."""
-        rems = {}
-        for i, (vec, definition, comp) in enumerate(self.corrector):
-            if not comp:
-                continue
-            shifted = definition
-            for v in self.full.variables:
-                shifted = shifted.replace(
-                    v, E.sum_expr([v, delta_variable(v)]))
-            terms = [shifted, E.negate(definition)]
-            for j, vj in enumerate(self.full.variables):
-                cell = self.full.lhs[i][j]
-                if cell is E.ZERO:
-                    continue
-                terms.append(E.negate(E.product([cell,
-                                                 delta_variable(vj)])))
-            rems[vec] = E.sum_expr(terms).simplify()
-        return rems
-
-    def _residual_env(self, env, mu_val, data=None, var_vals=None,
-                      affine_deltas=None):
-        """Bind the shorthand residual vectors r_{v} into a new env.
-
-        With ``affine_deltas`` given, complementarity residuals get the
-        exact second-order Mehrotra correction
-        ``c_i(v + d_aff) - c_i(v) - J_i d_aff`` added (corrector phase).
-
-        ``env`` must match the residual pipeline's precision: a lifted
-        two-float env under ``df_residuals`` (the correction term is
-        itself pure cancellation, so it benefits the most)."""
-        m = self._cgm
-        renv = dict(env)
-        renv[self.symbols.mu] = m.scalar(jnp.asarray(mu_val, self.dtype))
-        memo = {}
-
-        corr_vals = None
-        if affine_deltas is not None and self.corrector_rem is not None:
-            # taylor="symbolic": one evaluation of the staged remainder
-            corr_vals = {}
-            cenv = dict(env)
-            cenv[self.symbols.mu] = m.scalar(
-                jnp.asarray(0.0, self.dtype))
-            for var, dj in zip(self.full.variables, affine_deltas):
-                cenv[delta_variable(var)] = self._vec_tv(dj)
-            cmemo = {}
-            for vec, rem in self.corrector_rem.items():
-                corr_vals[vec] = m.evaluate(rem, cenv, cmemo)
-        elif affine_deltas is not None:
-            corr_vals = {}
-            aff_point = tuple(self._dadd(v, d) for v, d in
-                              zip(var_vals, affine_deltas))
-            aenv = self._envm(data, aff_point, 0.0)
-            benv = self._envm(data, var_vals, 0.0)
-            amemo, bmemo, jmemo = {}, {}, {}
-            for i, (vec, definition, comp) in enumerate(self.corrector):
-                if not comp:
-                    continue
-                c_shift = m.evaluate(definition, aenv, amemo)
-                c_base = m.evaluate(definition, benv, bmemo)
-                lin = None
-                for j, dj in enumerate(affine_deltas):
-                    cell = self.full.lhs[i][j]
-                    if cell is E.ZERO or dj.shape[-1] == 0:
-                        continue
-                    term = m.multiply_tv(m.evaluate(cell, env, jmemo),
-                                         self._vec_tv(dj))
-                    lin = term if lin is None else m.add_tv(lin, term)
-                corr = m.add_tv(c_shift, m.negate_tv(c_base))
-                if lin is not None:
-                    corr = m.add_tv(corr, m.negate_tv(lin))
-                corr_vals[vec] = corr
-
-        for (vec, definition, comp) in self.corrector:
-            val = m.evaluate(definition, renv, memo)
-            if corr_vals is not None and vec in corr_vals:
-                val = m.add_tv(val, corr_vals[vec])
-            renv[vec] = val
-        return renv
-
-    def _search_direction(self, solve_fn, renv):
-        """Solve the augmented system and back-substitute eliminated
-        variables via the symbolic delta definitions.  The right-hand
-        side and back-substitutions are evaluated in the residual
-        pipeline's precision; the factorised solve stays in working
-        precision."""
-        m = self._cgm
-        memo = {}
-        if self.two_float:
-            from . import codegen_df as cgdf
-            parts = [m.as_vector(m.evaluate(r, renv, memo), sz)
-                     for r, sz in zip(self.red.rhs, self.red_sizes)]
-            if parts:
-                bh = jnp.concatenate([p.hi for p in parts])
-                bl = jnp.concatenate([p.lo for p in parts])
-            else:
-                bh = bl = jnp.zeros(0, self.dtype)
-            solh, soll = solve_fn((bh, bl))
-            deltas = [None] * len(self.full.variables)
-            denv = dict(renv)
-            offset = 0
-            for var, sz in zip(self.red.variables, self.red_sizes):
-                if sz:
-                    vh = jax.lax.dynamic_slice_in_dim(solh, offset, sz)
-                    vl = jax.lax.dynamic_slice_in_dim(soll, offset, sz)
-                else:
-                    vh = vl = jnp.zeros(0, self.dtype)
-                offset += sz
-                deltas[self.var_index[var]] = jnp.stack([vh, vl])
-                denv[delta_variable(var)] = cgdf.DFTV("vector", vh, vl)
-            memo2 = {}
-            for dvar, ddef in reversed(self.red.delta_definitions):
-                var = self.delta_to_var[dvar]
-                tv = m.as_vector(m.evaluate(ddef, denv, memo2),
-                                 self.size_of[var])
-                denv[dvar] = cgdf.DFTV("vector", tv.hi, tv.lo)
-                deltas[self.var_index[var]] = jnp.stack([tv.hi, tv.lo])
-            return deltas
-        parts = [m.as_vector_arr(m.evaluate(r, renv, memo), sz)
-                 for r, sz in zip(self.red.rhs, self.red_sizes)]
-        b = (jnp.concatenate(parts) if parts
-             else jnp.zeros(0, self.dtype))
-        sol = solve_fn(b)
-
-        deltas = [None] * len(self.full.variables)
-        denv = dict(renv)
-        offset = 0
-        for var, sz in zip(self.red.variables, self.red_sizes):
-            val = jax.lax.dynamic_slice_in_dim(sol, offset, sz) \
-                if sz else jnp.zeros(0, self.dtype)
-            offset += sz
-            deltas[self.var_index[var]] = val
-            denv[delta_variable(var)] = m.vector(val)
-        memo2 = {}
-        for dvar, ddef in reversed(self.red.delta_definitions):
-            var = self.delta_to_var[dvar]
-            val = m.as_vector_arr(m.evaluate(ddef, denv, memo2),
-                                  self.size_of[var])
-            denv[dvar] = m.vector(val)
-            deltas[self.var_index[var]] = val
-        return deltas
-
-    def _max_step(self, env, var_vals, deltas):
-        dt = self.dtype
-        alpha = jnp.asarray(1.0, dt)
-        inf = jnp.asarray(jnp.inf, dt)
-        for i in self.nonneg_idx:
-            v, d = self._var_val(var_vals[i]), self._var_val(deltas[i])
-            if v.shape[0] == 0:
-                continue
-            ratio = jnp.where(d < 0, -v / jnp.where(d < 0, d, -1.0), inf)
-            alpha = jnp.minimum(alpha, jnp.min(ratio, initial=jnp.inf))
-        if self.box_test:
-            o = self.symbols
-            checks = []
-            if o.x in self.var_index:
-                checks.append((o.x, o.l_x if self.x_has_lb else None,
-                               o.u_x if self.x_has_ub else None))
-            if o.s_A_ineq in self.var_index:
-                checks.append((o.s_A_ineq,
-                               o.l_A_ineq if self.s_has_lb else None,
-                               o.u_A_ineq if self.s_has_ub else None))
-            for var, lb_sym, ub_sym in checks:
-                i = self.var_index[var]
-                v, d = self._var_val(var_vals[i]), \
-                    self._var_val(deltas[i])
-                if v.shape[0] == 0:
-                    continue
-                if lb_sym is not None:
-                    lb = env[lb_sym].val
-                    ratio = jnp.where(d < 0, (lb - v) / jnp.where(d < 0, d, -1.0), inf)
-                    alpha = jnp.minimum(alpha, jnp.min(ratio, initial=jnp.inf))
-                if ub_sym is not None:
-                    ub = env[ub_sym].val
-                    ratio = jnp.where(d > 0, (ub - v) / jnp.where(d > 0, d, 1.0), inf)
-                    alpha = jnp.minimum(alpha, jnp.min(ratio, initial=jnp.inf))
-        return alpha
-
     # ------------------------------------------------------------------
     # iteration / loop
     # ------------------------------------------------------------------
@@ -1145,43 +581,6 @@ class CompiledIPM:
         return IPMState(vars=tuple(vals), mu=jnp.asarray(self.mu0, dt),
                         iteration=jnp.asarray(0, jnp.int32),
                         residual=residual, gap=gap)
-
-    def _gondzio_round(self, env, data, var_vals, solve_fn, d, alpha,
-                       mu_target, beta_min=0.1, beta_max=10.0,
-                       delta_alpha=0.1, gamma=0.1):
-        """One Gondzio centrality-corrector round (Gondzio 1996).
-
-        At the enlarged trial step, complementarity products outside
-        [beta_min, beta_max] * mu are pulled back to the nearest bound by
-        an extra solve with the existing factors.  The corrected
-        direction is kept only if it lengthens the step."""
-        m = self._cgm
-        dt = self.dtype
-        alpha_t = jnp.minimum(alpha + delta_alpha, 1.0)
-        trial = tuple(self._axpy(v, alpha_t, dv)
-                      for v, dv in zip(var_vals, d))
-        tenv = self._envm(data, trial, 0.0)
-
-        # residual-vector bindings: comp rows get (p - clip(p)), others 0
-        genv = dict(env)
-        memo = {}
-        mu_t = jnp.asarray(mu_target, dt)
-        for i, (vec, definition, comp) in enumerate(self.corrector):
-            sz = self.var_sizes[i]
-            if comp and sz:
-                p = m.as_vector_arr(m.evaluate(definition, tenv, memo), sz)
-                target = jnp.clip(p, beta_min * mu_t, beta_max * mu_t)
-                genv[vec] = m.vector(p - target)
-            else:
-                genv[vec] = m.vector(jnp.zeros(sz, dt))
-        dm = self._search_direction(solve_fn, genv)
-
-        d_new = tuple(self._dadd(dv, dmv) for dv, dmv in zip(d, dm))
-        alpha_new = self._max_step(env, var_vals, d_new)
-        accept = alpha_new >= jnp.minimum(alpha + gamma * delta_alpha, 1.0)
-        d_out = tuple(jnp.where(accept, dn, dv)
-                      for dn, dv in zip(d_new, d))
-        return d_out, jnp.where(accept, alpha_new, alpha)
 
     def _step_impl(self, state: IPMState, data: QPData,
                    gondzio: Optional[int] = None) -> IPMState:
@@ -1327,229 +726,3 @@ class CompiledIPM:
         if not hasattr(self, "_solve_batch_jit"):
             self._solve_batch_jit = jax.jit(jax.vmap(self._solve_impl))
         return self._solve_batch_jit(data)
-
-    # ------------------------------------------------------------------
-    # compacted batch solve (straggler-free full solves)
-    # ------------------------------------------------------------------
-
-    def _masked_steps(self, state, data, diverged, res_tol, k: int,
-                      gondzio: Optional[int] = None):
-        """Run ``k`` vmapped iterations; converged/diverged instances are
-        frozen (their state re-enters unchanged) and a step that goes
-        NaN/inf rolls back to the last good iterate, as in
-        :meth:`_solve_impl`."""
-        stepv = jax.vmap(
-            functools.partial(self._step_impl, gondzio=gondzio))
-
-        def mask_like(m, leaf):
-            return m.reshape(m.shape + (1,) * (leaf.ndim - 1))
-
-        def body(_, carry):
-            st, div = carry
-            done = (st.residual < res_tol) & (st.gap < self.tol)
-            frozen = done | div
-            new = stepv(st, data)
-            bad = (jnp.isnan(new.residual) | jnp.isinf(new.residual) |
-                   jnp.isnan(new.gap) | jnp.isinf(new.gap))
-            keep = frozen | bad
-            merged = jax.tree_util.tree_map(
-                lambda o, n_: jnp.where(mask_like(keep, n_), o, n_),
-                st, new)
-            return merged, div | (bad & ~frozen)
-
-        return jax.lax.fori_loop(0, k, body, (state, diverged))
-
-    def _masked_while(self, state, data, frozen0, res_tol, max_steps: int,
-                      gondzio: Optional[int] = None):
-        """Early-exit variant of :meth:`_masked_steps`: iterates until
-        every instance is frozen (converged, diverged, or externally
-        frozen via ``frozen0``) or ``max_steps`` is reached.  Same
-        freeze/NaN-rollback semantics."""
-        stepv = jax.vmap(
-            functools.partial(self._step_impl, gondzio=gondzio))
-
-        def mask_like(m, leaf):
-            return m.reshape(m.shape + (1,) * (leaf.ndim - 1))
-
-        def done(st):
-            return (st.residual < res_tol) & (st.gap < self.tol)
-
-        def cond(carry):
-            st, div, it = carry
-            frozen = frozen0 | done(st) | div
-            return jnp.logical_and(it < max_steps, ~jnp.all(frozen))
-
-        def body(carry):
-            st, div, it = carry
-            frozen = frozen0 | done(st) | div
-            new = stepv(st, data)
-            bad = (jnp.isnan(new.residual) | jnp.isinf(new.residual) |
-                   jnp.isnan(new.gap) | jnp.isinf(new.gap))
-            keep = frozen | bad
-            merged = jax.tree_util.tree_map(
-                lambda o, n_: jnp.where(mask_like(keep, n_), o, n_),
-                st, new)
-            return merged, div | (bad & ~frozen), it + 1
-
-        state, diverged, _ = jax.lax.while_loop(
-            cond, body,
-            (state, jnp.zeros(res_tol.shape, bool),
-             jnp.asarray(0, jnp.int32)))
-        return state, diverged
-
-    def _compact_impl(self, data: QPData, schedule, tail_gondzio,
-                      tail_restart):
-        """Whole-batch solve with device-side compaction between stages.
-
-        A vmapped ``while_loop`` makes every instance pay for the
-        slowest one: a single straggler keeps all ``B`` lanes stepping
-        (frozen lanes still execute) to ``max_iter``.  Instead, run a
-        fixed number of masked steps on the full batch, then argsort the
-        done-mask (actives first), gather the leading ``B // divisor``
-        slots — a static shape — and continue on that sub-batch only,
-        scattering results back.  Typical workloads converge >99% of
-        instances in the first stage, so the tail costs ~1/divisor of a
-        full-batch step.  Instances that exceed a stage's capacity stay
-        where they are and simply report unconverged — no wrong answers,
-        and the convergence rate surfaces the event.
-
-        Tail stages RESTART still-active instances from the initial
-        iterate and run with ``tail_gondzio`` Gondzio centrality-
-        corrector rounds: plain Mehrotra CYCLES on a small fraction of
-        instances (observed: residual oscillation on a well-conditioned
-        box QP, in f64 too — an algorithmic failure mode, not a
-        precision one).  The cycle is an attractor — switching on
-        Gondzio mid-cycle stays trapped — but Gondzio from a cold start
-        converges in ~11 iterations on the same instance, so the tail
-        re-initialises.  Cumulative per-instance iteration counts are
-        preserved for honest throughput accounting.  Running Gondzio
-        only on the compacted tail keeps the full-batch stage at
-        plain-Mehrotra cost."""
-        B = data.Q.shape[0]
-        state = jax.vmap(self.init_state)(data)
-        dt = self.dtype
-        if self.scale_tol:
-            res_tol = self.tol * (1.0 + state.residual)
-        else:
-            res_tol = jnp.full((B,), self.tol, dt)
-        diverged = jnp.zeros((B,), bool)
-
-        (k0, div0), *rest = schedule
-        assert div0 == 1, "first stage must cover the full batch"
-        state, diverged = self._masked_steps(state, data, diverged,
-                                             res_tol, k0)
-
-        for (k, divisor) in rest:
-            cap = max(B // divisor, 1)
-            done = (state.residual < res_tol) & (state.gap < self.tol)
-            frozen = done | diverged
-            # gather priority: actives first, then diverged (which get
-            # their Gondzio second chance), converged last as padding
-            priority = 2 * done.astype(jnp.int32) + \
-                (diverged & ~done).astype(jnp.int32)
-            take = jnp.argsort(priority)[:cap]
-            sub = jax.tree_util.tree_map(lambda a: a[take],
-                                         (state, data, diverged, res_tol))
-            s_state, s_data, s_div, s_tol = sub
-            # restart unconverged instances (active OR diverged — the
-            # latter get a second chance under Gondzio) from the initial
-            # iterate (a Mehrotra cycle is an attractor; see docstring),
-            # keeping their cumulative iteration count; converged slots
-            # gathered as padding keep their state
-            if tail_restart:
-                s_done = ((s_state.residual < s_tol) &
-                          (s_state.gap < self.tol))
-                fresh = jax.vmap(self.init_state)(s_data)
-                fresh = IPMState(vars=fresh.vars, mu=fresh.mu,
-                                 iteration=s_state.iteration,
-                                 residual=fresh.residual, gap=fresh.gap)
-                s_state = jax.tree_util.tree_map(
-                    lambda o, n_: jnp.where(
-                        s_done.reshape(s_done.shape +
-                                       (1,) * (n_.ndim - 1)), o, n_),
-                    s_state, fresh)
-                s_div = jnp.where(s_done, s_div, False)
-            s_state, s_div = self._masked_steps(s_state, s_data, s_div,
-                                                s_tol, k,
-                                                gondzio=tail_gondzio)
-            state = jax.tree_util.tree_map(
-                lambda f, s: f.at[take].set(s), state, s_state)
-            diverged = diverged.at[take].set(s_div)
-
-        # Full-batch mop-up: a stage whose active count exceeds its
-        # 1/divisor capacity silently leaves instances unconverged (the
-        # gather drops them on the floor) — observed at tol 1e-6, where
-        # stage 1 converges ~6% fewer instances than at 1e-5 and the
-        # 1/8 cap overflows.  The early-exit masked while costs one
-        # cond evaluation when everything already converged, and
-        # full-batch steps only for as long as any instance is active,
-        # so the compact engine is never worse-converging than
-        # solve_batch.  Budget: an instance dropped after stage 1 is
-        # still owed max_iter - k0 iterations; per-instance totals can
-        # therefore exceed max_iter, like the restart tails' cumulative
-        # counts.  Gondzio rounds ride along (free when no lane is
-        # active) so a capacity-dropped cycler at least gets the
-        # corrector, though without the cold restart the tails provide.
-        done = (state.residual < res_tol) & (state.gap < self.tol)
-        state, mop_div = self._masked_while(
-            state, data, done | diverged, res_tol,
-            max(self.max_iter - schedule[0][0], 0), gondzio=tail_gondzio)
-        diverged = diverged | mop_div
-
-        def finish(st, d, rtol, div):
-            env = self._env(d, st.vars, st.mu)
-            f = self._cgm.evaluate(self.objective_expr, env).val \
-                if self.two_float else cg.evaluate(self.objective_expr,
-                                                   env).val
-            return SolveResult(
-                x=self._var_val(st.vars[self.var_index[self.symbols.x]]),
-                variables={v.name: self._var_val(val) for v, val in
-                           zip(self.full.variables, st.vars)},
-                objective=f,
-                iterations=st.iteration,
-                residual=st.residual,
-                gap=st.gap,
-                converged=(st.residual < rtol) & (st.gap < self.tol),
-                diverged=div)
-
-        return jax.vmap(finish)(state, data, res_tol, diverged)
-
-    def solve_batch_compact(self, data: QPData, schedule=None,
-                            tail_gondzio: int = 2,
-                            tail_restart: bool = True) -> SolveResult:
-        """Straggler-free batched solve (see :meth:`_compact_impl`).
-
-        ``schedule``: list of ``(steps, batch_divisor)`` stages; the
-        first divisor must be 1.  The default spends 12 iterations on
-        the full batch, 12 more on the slowest eighth, and the remaining
-        iteration budget on the slowest 1/64th.  ``tail_gondzio``:
-        Gondzio corrector rounds for the tail stages (anti-cycling)."""
-        self._ensure_nd_plan(data)
-        B = data.Q.shape[0]
-        if schedule is None:
-            if B < 64:
-                schedule = [(self.max_iter, 1)]
-            else:
-                # stage 1 must converge >87.5% of the batch or the 1/8
-                # stage-2 cap overflows into the (full-batch-cost)
-                # mop-up: measured p87.5 on the bench workload is 8
-                # iterations at tol 1e-5 but 13-14 at 1e-6
-                k0 = min(self.max_iter, 12 if self.tol >= 1e-5 else 14)
-                k1 = min(max(self.max_iter - k0, 0), 12)
-                k2 = max(self.max_iter - k0 - k1, 0)
-                schedule = [(k0, 1)]
-                if k1:
-                    schedule.append((k1, 8))
-                if k2:
-                    schedule.append((k2, 64))
-        key = (B, tuple(schedule), tail_gondzio, tail_restart)
-        cache = getattr(self, "_compact_cache", None)
-        if cache is None:
-            cache = self._compact_cache = {}
-        if key not in cache:
-            cache[key] = jax.jit(
-                functools.partial(self._compact_impl,
-                                  schedule=tuple(schedule),
-                                  tail_gondzio=tail_gondzio,
-                                  tail_restart=tail_restart))
-        return cache[key](data)

@@ -244,8 +244,34 @@ def nd_plan(pattern: np.ndarray, leaf: int = 32, pad_to: int = 8) -> NDPlan:
 # ---------------------------------------------------------------------------
 
 
-def _solve_blocks(L, D, B):
+def _level_uses_pallas(method: str, k: int, dtype) -> bool:
+    """Whether a level's batched factor/solves run as the VMEM-resident
+    Pallas kernels (ops/pallas_ldlt.py).  'auto' = on TPU when a lane
+    tile fits VMEM; the column-loop XLA lowering + vmapped
+    TriangularSolve path they replace dominated the r3 measurement
+    (nd_factor 18.2 ms vs 4.4 ms DENSE per iteration at n=4096: ~7
+    levels x [k sequential tiny loop steps + serial triangular
+    solves])."""
+    if method == "jnp":
+        return False
+    if method == "pl":
+        return True
+    from .pallas_ldlt import _pl_fits
+    return jax.default_backend() == "tpu" and _pl_fits(k, dtype)
+
+
+def _factor_blocks(Kss, pivot_floor, method):
+    if _level_uses_pallas(method, Kss.shape[-1], Kss.dtype):
+        from .pallas_ldlt import batched_ldlt_pallas
+        return batched_ldlt_pallas(Kss, pivot_floor)
+    return batched_ldlt(Kss, pivot_floor)
+
+
+def _solve_blocks(L, D, B, method="jnp"):
     """Batched multi-rhs LDL^T solve: (B,k,k) factors x (B,k,m)."""
+    if B.shape[-1] and _level_uses_pallas(method, L.shape[-1], L.dtype):
+        from .pallas_ldlt import batched_solve_ldlt_matrix_pallas
+        return batched_solve_ldlt_matrix_pallas(L, D, B)
 
     def one(Li, Di, Bi):
         y = solve_triangular(Li, Bi, lower=True, unit_diagonal=True)
@@ -255,14 +281,23 @@ def _solve_blocks(L, D, B):
     return jax.vmap(one)(L, D, B)
 
 
+def _solve_vec_blocks(L, D, z, method="jnp"):
+    """Batched single-rhs LDL^T solve: (B,k,k) factors x (B,k)."""
+    if _level_uses_pallas(method, L.shape[-1], L.dtype):
+        from .pallas_ldlt import batched_solve_ldlt_pallas
+        return batched_solve_ldlt_pallas(L, D, z)
+    return jax.vmap(_fwd_back)(L, D, z)
+
+
 def nd_factor(K: jnp.ndarray, plan: NDPlan,
-              pivot_floor: float = PIVOT_FLOOR):
+              pivot_floor: float = PIVOT_FLOOR, method: str = "auto"):
     """Block factorisation along the dissection plan.
 
     Returns per-level factors [(L, D, W)]: unit-lower/diagonal LDL^T of
     each (eliminated) diagonal block and W = Kss^{-1} Ksb, the block
     row of the factor.  Work matrix carries one dummy row/col (index n)
-    absorbing padding."""
+    absorbing padding.  ``method``: 'auto' (Pallas batched kernels on
+    TPU, jnp elsewhere), 'pl', or 'jnp'."""
     n, dt = plan.n, K.dtype
     Kp = jnp.zeros((n + 1, n + 1), dt).at[:n, :n].set(K)
     out = []
@@ -276,17 +311,18 @@ def nd_factor(K: jnp.ndarray, plan: NDPlan,
         mask = v[:, :, None] * v[:, None, :]
         eye_pad = jnp.eye(k, dtype=dt)[None] * (1.0 - v)[:, :, None]
         Kss = Kss * mask + eye_pad
-        L, D = batched_ldlt(Kss, pivot_floor)
+        L, D = _factor_blocks(Kss, pivot_floor, method)
         Ksb = Kp[idx[:, :, None], bnd[:, None, :]] * \
             (v[:, :, None] * bv[:, None, :])
-        W = _solve_blocks(L, D, Ksb)
+        W = _solve_blocks(L, D, Ksb, method)
         S = jnp.einsum("bki,bkj->bij", Ksb, W)
         Kp = Kp.at[bnd[:, :, None], bnd[:, None, :]].add(-S)
         out.append((L, D, W))
     return out
 
 
-def nd_solve(plan: NDPlan, factors, b: jnp.ndarray) -> jnp.ndarray:
+def nd_solve(plan: NDPlan, factors, b: jnp.ndarray,
+             method: str = "auto") -> jnp.ndarray:
     """Solve K x = b with :func:`nd_factor` factors."""
     dt = b.dtype
     n = plan.n
@@ -309,7 +345,7 @@ def nd_solve(plan: NDPlan, factors, b: jnp.ndarray) -> jnp.ndarray:
         idx = jnp.asarray(lev.idx)
         v = jnp.asarray(lev.valid, dt)
         bnd = jnp.asarray(lev.bnd)
-        y = jax.vmap(_fwd_back)(L, D, z)
+        y = _solve_vec_blocks(L, D, z, method)
         y = y - jnp.einsum("bkm,bm->bk", W, x[bnd])
         x = x.at[idx].set(y * v)
     return x[:n]
@@ -321,6 +357,8 @@ def _fwd_back(Li, Di, zi):
 
 
 def nd_solve_matrix(plan: NDPlan, factors, B: jnp.ndarray) -> jnp.ndarray:
-    """Multi-rhs variant: B is (n, r)."""
-    return jax.vmap(lambda col: nd_solve(plan, factors, col),
+    """Multi-rhs variant: B is (n, r).  The inner solves stay on the
+    jnp path — vmapping over rhs columns would vmap the Pallas calls."""
+    return jax.vmap(lambda col: nd_solve(plan, factors, col,
+                                         method="jnp"),
                     in_axes=1, out_axes=1)(B)

@@ -223,3 +223,25 @@ class TestJit:
         A[:n1, :n1] = A1
         A[n1:, n1:] = A2
         check_roundtrip(A, leaf=8)
+
+
+class TestPallasMethod:
+    """The TPU hot path runs each level's batched factor/solves as the
+    VMEM-resident Pallas kernels (method='pl'; interpreter mode on CPU).
+    Pin parity with the portable jnp path on a grid KKT."""
+
+    def test_pl_equals_jnp(self):
+        A = grid_spd(8, seed=13)
+        n = A.shape[0]
+        plan = nd_plan(A != 0, leaf=16)
+        K = jnp.asarray(A, jnp.float64)
+        b = jnp.asarray(np.random.default_rng(3).normal(size=n))
+        f_j = nd_factor(K, plan, method="jnp")
+        f_p = nd_factor(K, plan, method="pl")
+        x_j = nd_solve(plan, f_j, b, method="jnp")
+        x_p = nd_solve(plan, f_p, b, method="pl")
+        np.testing.assert_allclose(np.asarray(x_p), np.asarray(x_j),
+                                   atol=1e-10, rtol=1e-10)
+        x_ref = ldlt_solve(K, b)
+        np.testing.assert_allclose(np.asarray(x_p), np.asarray(x_ref),
+                                   atol=1e-8, rtol=1e-7)
