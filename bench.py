@@ -307,14 +307,19 @@ def bench_nd(backend):
     fam = grid_qp(side=g, seed=0, dtype=jnp.float32)
     data = fam.data
 
+    # nd_fallback=False pins the nd path: the bench MEASURES it; the
+    # auto-fallback (on by default for users) would silently bench the
+    # dense kernel whenever the plan is predicted to lose
     solver = CompiledIPM(fam.settings, n=n, dtype=jnp.float32, tol=1e-5,
-                         kernel="nd", nd_leaf=leaf)
+                         kernel="nd", nd_leaf=leaf, nd_fallback=False)
     res = solver.solve(data)
     if not bool(res.converged):
         raise RuntimeError("nd solver did not converge")
     plan = solver._nd_plan
+    from ipmzoo_tpu.ops.ndiss import nd_predicted_speedup
     print(f"nd: {len(plan.levels)} levels, flop ratio dense/nd = "
-          f"{plan.flops_dense / max(plan.flops_nd, 1):.1f}x",
+          f"{plan.flops_dense / max(plan.flops_nd, 1):.1f}x, predicted "
+          f"speedup {nd_predicted_speedup(plan):.1f}x",
           file=sys.stderr)
     step = jax.jit(solver._step_impl)
     state = solver.init_state(data)

@@ -74,6 +74,7 @@ class CompiledIPM(KernelDispatchMixin, DirectionsMixin,
                  two_float: bool = False, mesh=None,
                  mesh_axis: str = "tp", panel: Optional[int] = None,
                  nd_pattern=None, nd_leaf: int = 32,
+                 nd_fallback: bool = True,
                  taylor: str = "staged"):
         self.settings = settings
         self.n, self.m_ineq, self.m_eq = n, m_ineq, m_eq
@@ -311,7 +312,7 @@ class CompiledIPM(KernelDispatchMixin, DirectionsMixin,
         # "auto": block when the augmented system is 2x2 and the leading
         #   block is large enough for blocked Cholesky to win; blockg for
         #   other large quasi-definite structures.
-        can_block = (len(self.aug.variables) == 2 and
+        can_block = self._can_block = (len(self.aug.variables) == 2 and
                      self.aug.variables[0] is o.x)
         dual_groups = {o.lambda_A_ineq, o.lambda_sAineql, o.lambda_sAinequ,
                        o.lambda_A_eq, o.lambda_sAeql, o.lambda_sAequ,
@@ -361,10 +362,18 @@ class CompiledIPM(KernelDispatchMixin, DirectionsMixin,
             # from the data (assembling one KKT eagerly).
             self._mode = "nd"
             self._nd_leaf = nd_leaf
+            #: auto-fallback: refuse a dissection plan predicted to LOSE
+            #: to the dense path (ops/ndiss.py::nd_predicted_speedup —
+            #: per-level fixed overhead swamps the flop savings at small
+            #: n) and route to the dense auto kernel instead.  Disable
+            #: with nd_fallback=False to force the plan (benchmarks).
+            self._nd_fallback = nd_fallback
+            self.nd_fell_back = False
             if nd_pattern is not None:
                 from ..ops.ndiss import nd_plan
                 self._nd_plan = nd_plan(np.asarray(nd_pattern),
                                         leaf=nd_leaf)
+                self._maybe_nd_fallback()
             else:
                 self._nd_plan = None
         elif kernel == "block":
@@ -686,6 +695,27 @@ class CompiledIPM(KernelDispatchMixin, DirectionsMixin,
     # public API
     # ------------------------------------------------------------------
 
+    def _maybe_nd_fallback(self) -> None:
+        """Refuse a nested-dissection plan predicted to lose to dense.
+
+        Auto-selection must never pick a losing nd plan (VERDICT r3):
+        when the cost model (flops + per-level fixed overhead,
+        ops/ndiss.py::nd_predicted_speedup) predicts < 1.5x over the
+        dense factorisation, switch to the kernel the dense auto rule
+        would choose and record ``nd_fell_back``."""
+        from ..ops.ndiss import nd_predicted_speedup
+        if not self._nd_fallback or self._nd_plan is None:
+            return
+        if nd_predicted_speedup(self._nd_plan) >= 1.5:
+            return
+        self.nd_fell_back = True
+        if self._can_block and self.n >= 384:
+            self._mode = "block"
+        elif self.aug_dim >= 384:
+            self._mode = "blockg"
+        else:
+            self._mode = "ldlt"
+
     def _ensure_nd_plan(self, data: QPData) -> None:
         """Derive the nested-dissection plan from the data's sparsity
         (kernel='nd' with no explicit nd_pattern): assemble ONE KKT
@@ -702,6 +732,7 @@ class CompiledIPM(KernelDispatchMixin, DirectionsMixin,
         env = self._env(data, state.vars, jnp.asarray(self.mu0, self.dtype))
         K = np.asarray(self._assemble_kkt(env))
         self._nd_plan = nd_plan(K != 0, leaf=self._nd_leaf)
+        self._maybe_nd_fallback()
 
     def solve(self, data: QPData,
               warm_start: Optional[dict] = None) -> SolveResult:

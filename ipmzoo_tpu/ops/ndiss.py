@@ -77,6 +77,25 @@ class NDPlan:
     flops_dense: int     # n^3 / 3
 
 
+#: Fixed per-level cost of the device program expressed in dense-flop
+#: equivalents: each level pays gathers/scatters over the (n, n) work
+#: matrix plus kernel dispatch regardless of its flop count, so a plan
+#: with a huge flop ratio can still LOSE to dense when n is small
+#: (measured r3: 2060x flop ratio, 0.2x actual).  Calibrate against the
+#: measured crossover (tools/nd_probe.py); used by the auto-fallback.
+ND_LEVEL_OVERHEAD_FLOPS = 2.0e7
+
+
+def nd_predicted_speedup(plan: NDPlan) -> float:
+    """Predicted step speedup of the plan vs the dense factorisation,
+    from the flop counts plus the per-level fixed overhead.  > 1 means
+    the plan is predicted to win; CompiledIPM's auto-fallback refuses
+    plans below its threshold so a losing nd plan is never silently
+    selected."""
+    eff = plan.flops_nd + len(plan.levels) * ND_LEVEL_OVERHEAD_FLOPS
+    return plan.flops_dense / max(eff, 1.0)
+
+
 def _bfs_levels(adj: List[np.ndarray], start: int,
                 members: np.ndarray) -> List[np.ndarray]:
     """BFS level sets of the subgraph induced by ``members`` (bool mask)."""

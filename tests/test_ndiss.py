@@ -245,3 +245,40 @@ class TestPallasMethod:
         x_ref = ldlt_solve(K, b)
         np.testing.assert_allclose(np.asarray(x_p), np.asarray(x_ref),
                                    atol=1e-8, rtol=1e-7)
+
+
+class TestAutoFallback:
+    """kernel='nd' must never silently run a plan predicted to lose to
+    the dense path (r3: 2060x flop ratio still lost 4x at n=4096 to
+    per-level overhead before the Pallas levels)."""
+
+    def test_small_grid_falls_back_to_dense(self):
+        from ipmzoo_tpu.models import CompiledIPM
+        from ipmzoo_tpu.models.families import grid_qp
+        fam = grid_qp(side=6, seed=0, dtype=jnp.float64)
+        s = CompiledIPM(fam.settings, n=36, dtype=jnp.float64, tol=1e-7,
+                        kernel="nd", nd_leaf=8)
+        r = s.solve(fam.data)
+        assert s.nd_fell_back and s._mode != "nd"
+        assert bool(r.converged)
+
+    def test_fallback_disabled_keeps_nd(self):
+        from ipmzoo_tpu.models import CompiledIPM
+        from ipmzoo_tpu.models.families import grid_qp
+        fam = grid_qp(side=6, seed=0, dtype=jnp.float64)
+        s = CompiledIPM(fam.settings, n=36, dtype=jnp.float64, tol=1e-7,
+                        kernel="nd", nd_leaf=8, nd_fallback=False)
+        r = s.solve(fam.data)
+        assert not s.nd_fell_back and s._mode == "nd"
+        assert bool(r.converged)
+
+    def test_fallback_matches_nd_solution(self):
+        from ipmzoo_tpu.models import CompiledIPM
+        from ipmzoo_tpu.models.families import grid_qp
+        fam = grid_qp(side=5, seed=1, dtype=jnp.float64)
+        kw = dict(n=25, dtype=jnp.float64, tol=1e-8, kernel="nd")
+        r_fb = CompiledIPM(fam.settings, **kw).solve(fam.data)
+        r_nd = CompiledIPM(fam.settings, nd_fallback=False,
+                           **kw).solve(fam.data)
+        np.testing.assert_allclose(np.asarray(r_fb.x),
+                                   np.asarray(r_nd.x), atol=1e-6)
