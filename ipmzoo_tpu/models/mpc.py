@@ -80,10 +80,15 @@ class MPCState:
     iteration: jnp.ndarray
     residual: jnp.ndarray
     gap: jnp.ndarray
+    #: (ru, rx, rd) residual triple at ``vars``, carried through the
+    #: loop: the end-of-step metrics evaluation already computes it, so
+    #: the next step's direction phase reuses it instead of re-running
+    #: the batched residual einsums (same rx-carry as ArrowState).
+    res: tuple = None
 
     def tree_flatten(self):
         return ((self.vars, self.mu, self.iteration, self.residual,
-                 self.gap), None)
+                 self.gap, self.res), None)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
@@ -194,7 +199,7 @@ class RiccatiIPM:
         return ru, rx, rd
 
     def _metrics(self, data: MPCData, vars):
-        """(residual norm, duality measure) at mu = 0."""
+        """(residual norm, duality measure, (ru, rx, rd)) at mu = 0."""
         u, x = vars[0], vars[1]
         lg, lh = vars[3], vars[4]
         g, h, gx, hx = self._slacks(data, u, x)
@@ -207,7 +212,7 @@ class RiccatiIPM:
         r = jnp.concatenate(parts)
         residual = jnp.sqrt(jnp.dot(r, r))
         gap = sum(jnp.sum(jnp.abs(c)) for c in comps) / self.comp_count
-        return residual, gap
+        return residual, gap, (ru, rx, rd)
 
     # ------------------------------------------------------------------
     # directions
@@ -308,10 +313,10 @@ class RiccatiIPM:
                     w = jnp.maximum(w, eps)
                 vals[i] = w
         vars = tuple(vals)
-        residual, gap = self._metrics(data, vars)
+        residual, gap, res = self._metrics(data, vars)
         return MPCState(vars=vars, mu=jnp.asarray(self.mu0, dt),
                         iteration=jnp.asarray(0, jnp.int32),
-                        residual=residual, gap=gap)
+                        residual=residual, gap=gap, res=res)
 
     def _var_names(self):
         names = ["u", "x", "y", "lambda_g", "lambda_h"]
@@ -373,7 +378,7 @@ class RiccatiIPM:
         factors = riccati_factor(Qt, Rt, data.A.astype(dt),
                                  data.B.astype(dt))
 
-        ru, rx, rd = self._residuals(data, vars)
+        ru, rx, rd = state.res    # carried from the previous metrics pass
 
         # affine predictor (mu = 0)
         comp0 = [g * lg, h * lh]
@@ -406,10 +411,10 @@ class RiccatiIPM:
 
         step = self.fraction_to_boundary * alpha
         new_vars = tuple(v + step * dv for v, dv in zip(vars, d_cc))
-        residual, new_gap = self._metrics(data, new_vars)
+        residual, new_gap, new_res = self._metrics(data, new_vars)
         return MPCState(vars=new_vars, mu=mu_new,
                         iteration=state.iteration + 1,
-                        residual=residual, gap=new_gap)
+                        residual=residual, gap=new_gap, res=new_res)
 
     def _objective(self, data: MPCData, u, x):
         fx = 0.5 * jnp.einsum("ki,kij,kj->", x, data.Q, x) + \
