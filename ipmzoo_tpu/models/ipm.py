@@ -74,7 +74,7 @@ class CompiledIPM(KernelDispatchMixin, DirectionsMixin,
                  two_float: bool = False, mesh=None,
                  mesh_axis: str = "tp", panel: Optional[int] = None,
                  nd_pattern=None, nd_leaf: int = 32,
-                 nd_fallback: bool = True,
+                 nd_fallback: bool = True, block_inv="auto",
                  taylor: str = "staged"):
         self.settings = settings
         self.n, self.m_ineq, self.m_eq = n, m_ineq, m_eq
@@ -400,6 +400,15 @@ class CompiledIPM(KernelDispatchMixin, DirectionsMixin,
             from ..ops.blocked_ldlt import ldlt_blocked
             self._factor = lambda K: ldlt_blocked(K, self.pivot_floor)
             self._solve_kernel = solve_ldlt
+
+        #: 'block' mode: bind explicit H^{-1}/S^{-1} per iteration so
+        #: direction solves are matvecs (ops/block_solve.py::
+        #: block2_factor_inv).  "auto" = on TPU only — the 1-rhs
+        #: TriangularSolve latency it removes is a TPU artefact; on CPU
+        #: the extra n-rhs solve is pure overhead.
+        if block_inv == "auto":
+            block_inv = jax.default_backend() == "tpu"
+        self._block_inv = bool(block_inv)
 
         # signed row regularisation for the regldlt mode: +1 on primal
         # groups, -1 on dual groups (same structural signs blockg uses)

@@ -300,13 +300,23 @@ class KernelDispatchMixin:
             return solve
 
         if self._mode == "block":
-            from ..ops.block_solve import (block2_factor, block2_matvec,
-                                           block2_solve)
+            from ..ops.block_solve import (block2_factor,
+                                           block2_factor_inv,
+                                           block2_matvec, block2_solve,
+                                           block2_solve_inv)
             blocks = self._assemble_blocks(env)
             H, BT = blocks[0][0], blocks[0][1]
             B, negC = blocks[1][0], blocks[1][1]
             C = -negC
-            factors = block2_factor(H, B, C)
+            if self._block_inv:
+                # explicit H^{-1}/S^{-1}: one n-rhs solve pair up front
+                # (matmul throughput) so the 4+ direction solves per
+                # iteration become MXU matvecs instead of latency-bound
+                # 1-rhs TriangularSolves
+                factors = block2_factor_inv(H, B, C)
+                block2_solve = block2_solve_inv
+            else:
+                factors = block2_factor(H, B, C)
             n1 = self.aug_sizes[0]
             if self.hybrid_refine and self.refine:
                 resid = self._residual_fn(self._assemble_kkt(env))

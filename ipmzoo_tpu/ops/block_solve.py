@@ -67,3 +67,40 @@ def block2_matvec(H, B, C, x1, x2):
     if B.shape[0]:
         return H @ x1 + B.T @ x2, B @ x1 - C @ x2
     return H @ x1, x2
+
+
+def block2_factor_inv(H: jnp.ndarray, B: jnp.ndarray, C: jnp.ndarray):
+    """Like :func:`block2_factor` but binds EXPLICIT inverses.
+
+    A Mehrotra iteration issues 4+ direction solves against one
+    factorisation (affine, corrector, Gondzio rounds); on TPU each
+    1-rhs TriangularSolve is latency-bound while an n-rhs solve runs at
+    matmul throughput.  Paying one n-rhs solve pair up front to bind
+    H^{-1} (and S^{-1}) turns every later direction into two MXU
+    matvecs.  Same elimination, same answer to roundoff."""
+    n = H.shape[0]
+    Lh = jnp.linalg.cholesky(H)
+    eye_n = jnp.eye(n, dtype=H.dtype)
+    Hinv = _cho_solve(Lh, eye_n)
+    if B.shape[0]:
+        T = Hinv @ B.T                        # H^-1 B^T  (n, m)
+        S = C + B @ T
+        Ls = jnp.linalg.cholesky(S)
+        Sinv = _cho_solve(Ls, jnp.eye(S.shape[0], dtype=H.dtype))
+    else:
+        T = jnp.zeros((n, 0), H.dtype)
+        Sinv = jnp.zeros((0, 0), H.dtype)
+    return (Hinv, T, Sinv)
+
+
+def block2_solve_inv(factors, r1: jnp.ndarray, r2: jnp.ndarray):
+    """Solve with factors from :func:`block2_factor_inv` — matvecs only."""
+    Hinv, T, Sinv = factors
+    y1 = Hinv @ r1
+    if r2.shape[0]:
+        dy = Sinv @ (T.T @ r1 - r2)
+        dx = y1 - T @ dy
+    else:
+        dy = r2
+        dx = y1
+    return dx, dy

@@ -95,3 +95,47 @@ class TestSolverBlockMode:
         s = CompiledIPM(Settings(), n=n, m_ineq=m, kernel="block", refine=1)
         res = s.solve(data)
         assert bool(res.converged)
+
+
+class TestExplicitInverse:
+    """block2_factor_inv binds explicit H^{-1}/S^{-1} so direction
+    solves are matvecs (the TPU 'block' default); must match the
+    triangular-solve staging to roundoff."""
+
+    def test_inv_matches_triangular(self):
+        import numpy as np
+        from ipmzoo_tpu.ops.block_solve import (block2_factor,
+                                                block2_factor_inv,
+                                                block2_solve,
+                                                block2_solve_inv)
+        rng = np.random.default_rng(0)
+        n, m = 20, 6
+        Mh = rng.normal(size=(n, n))
+        H = jnp.asarray(Mh @ Mh.T / n + np.eye(n))
+        B = jnp.asarray(rng.normal(size=(m, n)))
+        Mc = rng.normal(size=(m, m))
+        C = jnp.asarray(Mc @ Mc.T / m + np.eye(m))
+        r1 = jnp.asarray(rng.normal(size=n))
+        r2 = jnp.asarray(rng.normal(size=m))
+        dx0, dy0 = block2_solve(block2_factor(H, B, C), r1, r2)
+        dx1, dy1 = block2_solve_inv(block2_factor_inv(H, B, C), r1, r2)
+        np.testing.assert_allclose(np.asarray(dx1), np.asarray(dx0),
+                                   atol=1e-10)
+        np.testing.assert_allclose(np.asarray(dy1), np.asarray(dy0),
+                                   atol=1e-10)
+
+    def test_empty_dual_block(self):
+        import numpy as np
+        from ipmzoo_tpu.ops.block_solve import (block2_factor_inv,
+                                                block2_solve_inv)
+        rng = np.random.default_rng(1)
+        n = 8
+        Mh = rng.normal(size=(n, n))
+        H = jnp.asarray(Mh @ Mh.T / n + np.eye(n))
+        B = jnp.zeros((0, n))
+        C = jnp.zeros((0, 0))
+        r1 = jnp.asarray(rng.normal(size=n))
+        dx, dy = block2_solve_inv(block2_factor_inv(H, B, C), r1,
+                                  jnp.zeros((0,)))
+        np.testing.assert_allclose(np.asarray(H @ dx), np.asarray(r1),
+                                   atol=1e-10)
