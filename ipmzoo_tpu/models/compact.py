@@ -88,8 +88,84 @@ class CompactScheduleMixin:
              jnp.asarray(0, jnp.int32)))
         return state, diverged
 
+    def _escalation_twin(self):
+        """Two-float twin of this solver for the escalation stage.
+
+        Shared design with the fused engine's escalation
+        (models/fused.py): instances at the f32 representation floor
+        (residual just above tol that NO f32 iterate can express) are
+        finished in double-single pairs."""
+        if self.two_float:
+            return self
+        esc = getattr(self, "_esc_twin", None)
+        if esc is None:
+            from .ipm import CompiledIPM
+            esc = CompiledIPM(
+                self.settings, self.n, self.m_ineq, self.m_eq,
+                names=self.names, dtype=self.dtype, tol=self.tol,
+                max_iter=self.max_iter, mu0=self.mu0, delta0=self.delta0,
+                pivot_floor=self.pivot_floor,
+                fraction_to_boundary=self.fraction_to_boundary,
+                mu_floor=self.mu_floor, scale_tol=self.scale_tol,
+                gondzio=self.gondzio, two_float=True)
+            self._esc_twin = esc
+        return esc
+
+    def _escalate_batch(self, data: QPData, state, res_tol, diverged,
+                        esc_cap: int, esc_iters: int, gondzio: int):
+        """Warm two-float refinement of the residual-floor stragglers.
+
+        Gathers the unconverged instances, promotes their f32 iterates
+        to (hi, lo=0) pairs — they are already essentially optimal, so
+        warm pair refinement converges in a couple of iterations — and
+        merges back rounded iterates with the pair-accurate metrics.
+        Runs inside the same jit as the compact stages."""
+        B = data.Q.shape[0]
+        cap = min(esc_cap, B)
+        esc = self._escalation_twin()
+        done = (state.residual < res_tol) & (state.gap < self.tol)
+        take = jnp.argsort(done)[:cap]
+        e_data = jax.tree_util.tree_map(lambda a: a[take], data)
+        e_was = done[take]
+        vals = tuple(jnp.stack([v[take], jnp.zeros_like(v[take])], axis=1)
+                     for v in state.vars)
+
+        def metrics_one(d, vs):
+            return esc._metrics(esc._envm(d, vs, 0.0))
+
+        residual, gap = jax.vmap(metrics_one)(e_data, vals)
+        e_state = IPMState(
+            vars=vals,
+            mu=jnp.maximum(state.mu[take],
+                           jnp.asarray(esc.mu_floor, self.dtype)),
+            iteration=jnp.zeros((cap,), jnp.int32),
+            residual=residual, gap=gap)
+        e_tol = res_tol[take]
+        e_state, e_div = esc._masked_while(e_state, e_data, e_was, e_tol,
+                                           esc_iters, gondzio=gondzio)
+        e_conv = ((e_state.residual < e_tol) & (e_state.gap < self.tol)
+                  & ~e_div)
+        use = (~e_was) & e_conv
+
+        def put(dst, src):
+            upd = jnp.where(use.reshape((-1,) + (1,) * (src.ndim - 1)),
+                            src, dst[take])
+            return dst.at[take].set(upd)
+
+        new_vars = tuple(put(v, ev[:, 0] + ev[:, 1])
+                         for v, ev in zip(state.vars, e_state.vars))
+        state = IPMState(
+            vars=new_vars,
+            mu=put(state.mu, e_state.mu),
+            iteration=put(state.iteration,
+                          state.iteration[take] + e_state.iteration),
+            residual=put(state.residual, e_state.residual),
+            gap=put(state.gap, e_state.gap))
+        return state, diverged
+
     def _compact_impl(self, data: QPData, schedule, tail_gondzio,
-                      tail_restart):
+                      tail_restart, esc_cap: int = 0,
+                      esc_iters: int = 40):
         """Whole-batch solve with device-side compaction between stages.
 
         A vmapped ``while_loop`` makes every instance pay for the
@@ -187,6 +263,13 @@ class CompactScheduleMixin:
             max(self.max_iter - schedule[0][0], 0), gondzio=tail_gondzio)
         diverged = diverged | mop_div
 
+        # escalation: finish f32-representation-floor stragglers in
+        # two-float pairs (warm — they are already near-optimal)
+        if esc_cap:
+            state, diverged = self._escalate_batch(
+                data, state, res_tol, diverged, esc_cap, esc_iters,
+                tail_gondzio)
+
         def finish(st, d, rtol, div):
             env = self._env(d, st.vars, st.mu)
             f = self._cgm.evaluate(self.objective_expr, env).val \
@@ -207,15 +290,27 @@ class CompactScheduleMixin:
 
     def solve_batch_compact(self, data: QPData, schedule=None,
                             tail_gondzio: int = 2,
-                            tail_restart: bool = True) -> SolveResult:
+                            tail_restart: bool = True,
+                            esc_cap="auto",
+                            esc_iters: int = 40) -> SolveResult:
         """Straggler-free batched solve (see :meth:`_compact_impl`).
 
         ``schedule``: list of ``(steps, batch_divisor)`` stages; the
         first divisor must be 1.  The default spends 12 iterations on
         the full batch, 12 more on the slowest eighth, and the remaining
         iteration budget on the slowest 1/64th.  ``tail_gondzio``:
-        Gondzio corrector rounds for the tail stages (anti-cycling)."""
+        Gondzio corrector rounds for the tail stages (anti-cycling).
+        ``esc_cap``: capacity of the final two-float escalation stage
+        for f32-representation-floor stragglers ('auto' = 32 when the
+        working dtype's own floor can sit above the tolerance, i.e. f32
+        at tight tolerances; 0 otherwise)."""
         self._ensure_nd_plan(data)
+        if esc_cap == "auto":
+            eps = float(jnp.finfo(self.dtype).eps)
+            # the f32 iterate-representation floor is ~eps * ||residual
+            # scale||; escalation only helps when tol is near/below it
+            esc_cap = 32 if (not self.two_float and
+                             self.tol <= eps * 20) else 0
         B = data.Q.shape[0]
         if schedule is None:
             if B < 64:
@@ -233,7 +328,8 @@ class CompactScheduleMixin:
                     schedule.append((k1, 8))
                 if k2:
                     schedule.append((k2, 64))
-        key = (B, tuple(schedule), tail_gondzio, tail_restart)
+        key = (B, tuple(schedule), tail_gondzio, tail_restart, esc_cap,
+               esc_iters)
         cache = getattr(self, "_compact_cache", None)
         if cache is None:
             cache = self._compact_cache = {}
@@ -242,6 +338,7 @@ class CompactScheduleMixin:
                 functools.partial(self._compact_impl,
                                   schedule=tuple(schedule),
                                   tail_gondzio=tail_gondzio,
-                                  tail_restart=tail_restart))
+                                  tail_restart=tail_restart,
+                                  esc_cap=esc_cap, esc_iters=esc_iters))
         return cache[key](data)
 

@@ -160,3 +160,42 @@ class TestMehrotraCycling:
         r = s.solve_batch_compact(batch, schedule=[(12, 1), (12, 8),
                                                    (40, 16)])
         assert np.asarray(r.converged).all()
+
+
+class TestEscalation:
+    """The XLA compact engine's final two-float escalation stage (same
+    design as the fused engine's): f32-representation-floor stragglers
+    are finished warm in double-single pairs."""
+
+    def test_escalation_rescues_starved_batch(self):
+        # starve every earlier stage (budget 3, no mop-up headroom) so
+        # only the escalation stage can converge the batch
+        B, n, m = 8, 6, 3
+        data = _random_batch(B, n, m, jnp.float64, seed=5)
+        s = CompiledIPM(Settings(), n=n, m_ineq=m, dtype=jnp.float64,
+                        tol=1e-8, max_iter=3)
+        starved = s.solve_batch_compact(data, schedule=[(3, 1)],
+                                        esc_cap=0)
+        assert not bool(jnp.all(starved.converged))
+        out = s.solve_batch_compact(data, schedule=[(3, 1)],
+                                    esc_cap=B, esc_iters=60)
+        assert bool(jnp.all(out.converged))
+        ref = CompiledIPM(Settings(), n=n, m_ineq=m, dtype=jnp.float64,
+                          kernel="jnp", max_iter=60).solve_batch(data)
+        np.testing.assert_allclose(np.asarray(out.x), np.asarray(ref.x),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_auto_cap_tied_to_dtype_and_tol(self):
+        import jax.numpy as jnp
+        s32 = CompiledIPM(Settings(), n=4, m_ineq=2, dtype=jnp.float32,
+                          tol=1e-6)
+        s64 = CompiledIPM(Settings(), n=4, m_ineq=2, dtype=jnp.float64,
+                          tol=1e-6)
+        data = _random_batch(4, 4, 2, jnp.float64, seed=6)
+        d32 = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, jnp.float32), data)
+        s32.solve_batch_compact(d32)
+        s64.solve_batch_compact(data)
+        # f32 at tol 1e-6 builds the pair twin; f64 never needs it
+        assert hasattr(s32, "_esc_twin")
+        assert not hasattr(s64, "_esc_twin")
