@@ -238,6 +238,9 @@ def batched_solve_ldlt_matrix_pallas(L: jnp.ndarray, D: jnp.ndarray,
     budget = 10 * 1024 * 1024
     per_instance = (npad * npad + 2 * npad * kpad + npad) * itemsize
     bt0 = max(LANE, min(512, (budget // per_instance // LANE) * LANE))
+    # never tile wider than the (lane-rounded) batch: a bt0 > B pads the
+    # whole grid to one oversized tile of mostly dead lanes
+    bt0 = min(bt0, _round_up(max(B, 1), LANE))
     Bpad = _round_up(max(B, 1), bt0)
     L_t = jnp.pad(jnp.transpose(L, (1, 2, 0)),
                   ((0, npad - n), (0, npad - n), (0, Bpad - B)))
