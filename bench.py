@@ -321,14 +321,33 @@ def bench_nd(backend):
           f"{plan.flops_dense / max(plan.flops_nd, 1):.1f}x, predicted "
           f"speedup {nd_predicted_speedup(plan):.1f}x",
           file=sys.stderr)
-    step = jax.jit(solver._step_impl)
-    state = solver.init_state(data)
-    t_nd = measure_chain(lambda s: step(s, data), state)
 
+    # per-iteration cost INSIDE a compiled loop (what solve() runs):
+    # the nd path factors a loop-invariant reference matrix plus the
+    # per-iteration barrier diagonal, and XLA hoists the invariant
+    # permute/gather work out of the loop — a single-step measurement
+    # has no loop to hoist into and overstates the nd cost
+    from jax import lax
+    Ksteps = 8
+
+    def loop_time(s):
+        stepf = s._step_impl
+        pre_fn = getattr(s, "_nd_prework", None)
+
+        @jax.jit
+        def k_steps(state):
+            pre = pre_fn(data) if (pre_fn is not None and
+                                   s._mode == "nd") else None
+            return lax.fori_loop(
+                0, Ksteps,
+                lambda i, st: stepf(st, data, nd_pre=pre), state)
+
+        state = s.init_state(data)
+        return measure_chain(k_steps, state) / Ksteps
+
+    t_nd = loop_time(solver)
     dense = CompiledIPM(fam.settings, n=n, dtype=jnp.float32, tol=1e-5)
-    dstep = jax.jit(dense._step_impl)
-    dstate = dense.init_state(data)
-    t_dense = measure_chain(lambda s: dstep(s, data), dstate)
+    t_dense = loop_time(dense)
 
     speedup = t_dense / t_nd
     print(f"nd: {t_nd * 1e3:.3f} ms/iter vs {t_dense * 1e3:.2f} ms/iter "

@@ -601,13 +601,14 @@ class CompiledIPM(KernelDispatchMixin, DirectionsMixin,
                         residual=residual, gap=gap)
 
     def _step_impl(self, state: IPMState, data: QPData,
-                   gondzio: Optional[int] = None) -> IPMState:
+                   gondzio: Optional[int] = None,
+                   nd_pre=None) -> IPMState:
         env = self._env(data, state.vars, state.mu)
         envm = self._lift(env)
         gap = state.gap
 
         # factor the augmented KKT once (always working precision)
-        solve_fn = self._make_solve(env)
+        solve_fn = self._make_solve(env, nd_pre=nd_pre)
 
         # affine predictor (mu = 0)
         renv = self._residual_env(envm, 0.0)
@@ -651,6 +652,21 @@ class CompiledIPM(KernelDispatchMixin, DirectionsMixin,
                         iteration=state.iteration + 1,
                         residual=residual, gap=new_gap)
 
+    def _nd_prework(self, data: QPData):
+        """Loop-invariant prework of the nd diagonal-split path: the
+        reference KKT (data-derived strictly-interior point) cut into
+        the plan's static slabs, plus its diagonal.  Computed once
+        OUTSIDE the solver loop (XLA's loop-invariant code motion does
+        not hoist gathers, so the hoisting is structural)."""
+        if self._mode != "nd" or not getattr(self, "_nd_diag_split",
+                                             False):
+            return None
+        from ..ops.ndiss import nd_prework
+        env_ref = self._nd_ref_env(self._base_env(data, 1.0))
+        K_ref = self._assemble_kkt(env_ref)
+        return (nd_prework(K_ref, self._nd_plan),
+                self._assemble_diag(env_ref))
+
     def _solve_impl(self, data: QPData,
                     warm_start: Optional[dict] = None) -> SolveResult:
         state0 = self.init_state(data, warm_start)
@@ -659,6 +675,7 @@ class CompiledIPM(KernelDispatchMixin, DirectionsMixin,
         else:
             res_tol = jnp.asarray(self.tol, self.dtype)
         tol = self.tol
+        nd_pre = self._nd_prework(data)
 
         def _bad(s):
             return jnp.isnan(s.residual) | jnp.isinf(s.residual) | \
@@ -672,7 +689,7 @@ class CompiledIPM(KernelDispatchMixin, DirectionsMixin,
 
         def body(carry):
             state, _ = carry
-            new = self._step_impl(state, data)
+            new = self._step_impl(state, data, nd_pre=nd_pre)
             bad = _bad(new)
             # divergence rollback: a numerically failed step (e.g. an
             # f32 factorisation overflowing once mu underflows) returns
@@ -732,16 +749,36 @@ class CompiledIPM(KernelDispatchMixin, DirectionsMixin,
         pattern.  Barrier terms only touch diagonal blocks, so the
         pattern is iteration-invariant; the plan is cached and baked
         into the jitted solve as constants."""
-        if self._mode != "nd" or self._nd_plan is not None:
+        if self._mode != "nd":
             return
-        from ..ops.ndiss import nd_plan
         if jnp.asarray(data.Q).ndim == 3:      # batched: structure from
             data = jax.tree_util.tree_map(lambda a: a[0], data)  # inst. 0
+        if self._nd_plan is None:
+            from ..ops.ndiss import nd_plan
+            state = self.init_state(data)
+            env = self._env(data, state.vars,
+                            jnp.asarray(self.mu0, self.dtype))
+            K = np.asarray(self._assemble_kkt(env))
+            self._nd_plan = nd_plan(K != 0, leaf=self._nd_leaf)
+            self._maybe_nd_fallback()
+        if self._mode == "nd" and not hasattr(self, "_nd_diag_split"):
+            self._check_nd_diag_split(data)
+
+    def _check_nd_diag_split(self, data: QPData) -> None:
+        """Validate (numerically, once, on the host) that IPM iterations
+        only change the KKT's DIAGONAL for this formulation: assemble
+        the reduction at two different variable/mu assignments and
+        compare off-diagonals.  True across the standard lattice
+        (barrier terms are diagonal); false e.g. for penalty handlings
+        whose mu^-1 C^T C block is off-diagonal — those keep the full
+        per-iteration permute path."""
         state = self.init_state(data)
-        env = self._env(data, state.vars, jnp.asarray(self.mu0, self.dtype))
-        K = np.asarray(self._assemble_kkt(env))
-        self._nd_plan = nd_plan(K != 0, leaf=self._nd_leaf)
-        self._maybe_nd_fallback()
+        vars2 = tuple(jnp.abs(v) + 0.5 for v in state.vars)
+        K1 = np.asarray(self._assemble_kkt(
+            self._env(data, state.vars, 0.7)))
+        K2 = np.asarray(self._assemble_kkt(self._env(data, vars2, 0.31)))
+        off = ~np.eye(K1.shape[0], dtype=bool)
+        self._nd_diag_split = bool(np.array_equal(K1[off], K2[off]))
 
     def solve(self, data: QPData,
               warm_start: Optional[dict] = None) -> SolveResult:

@@ -151,9 +151,11 @@ class KernelDispatchMixin:
             return lambda b, sol: comp_residual(b, K, sol)
         return lambda b, sol: b - K @ sol
 
-    def _make_solve(self, env):
+    def _make_solve(self, env, nd_pre=None):
         """Factor the augmented KKT once; return solve(b) -> sol with
-        optional iterative refinement baked in."""
+        optional iterative refinement baked in.  ``nd_pre``: loop-
+        invariant slab prework for the nd diagonal-split path
+        (ipm.py::_nd_prework), computed outside the solver loop."""
         if self._mode == "tf":
             # double-single assembly + factorisation; solve consumes and
             # returns (hi, lo) PAIRS.  Indefinite systems get the signed
@@ -343,10 +345,26 @@ class KernelDispatchMixin:
                     "kernel='nd' has no dissection plan; pass nd_pattern= "
                     "to the constructor or call solve()/solve_batch() "
                     "(which derive it from the data) before step()")
-            K = self._assemble_kkt(env)
-            factors = nd_factor(K, self._nd_plan, self.pivot_floor)
-            resid = self._residual_fn(K)
             plan = self._nd_plan
+            if nd_pre is not None:
+                # IPM iterations only change the KKT's DIAGONAL (barrier
+                # terms; validated numerically at plan time, ipm.py::
+                # _check_nd_diag_split).  The loop-invariant slabs were
+                # extracted OUTSIDE the solver loop (_nd_prework); the
+                # in-loop factorisation consumes them plus the
+                # per-iteration barrier diagonal only.
+                from ..ops.ndiss import nd_factor_pre
+                pre, diag_ref = nd_pre
+                w = self._assemble_diag(env) - diag_ref
+                factors = nd_factor_pre(pre, plan, diag_delta=w,
+                                        pivot_floor=self.pivot_floor)
+                if self.refine:
+                    K = self._assemble_kkt(env)
+                    resid = self._residual_fn(K)
+            else:
+                K = self._assemble_kkt(env)
+                factors = nd_factor(K, plan, self.pivot_floor)
+                resid = self._residual_fn(K)
 
             def solve(b):
                 if b.shape[0] == 0:
@@ -363,7 +381,52 @@ class KernelDispatchMixin:
             # derive from this env by dict copy, so the binding propagates
             # to every rhs / delta-definition evaluation this iteration)
             self._bind_matrix_inverts(env)
+            return self._make_solve_dense(env)
 
+        return self._make_solve_dense(env)
+
+    def _nd_ref_env(self, env):
+        """Reference environment for the nd diagonal split: variables
+        bound to the same data-derived strictly-interior point
+        init_state uses (bound midpoints for x/s — ones would sit ON a
+        bound whenever a bound equals 1, blowing the barrier inverses),
+        mu to a constant.  Everything depends only on the data, so the
+        KKT assembled against it is loop-invariant."""
+        o = self.symbols
+        renv = dict(env)
+        mids = {}
+        if o.x in self.var_index:
+            mids[o.x] = 0.5 * (env[o.l_x].val + env[o.u_x].val)
+        if o.s_A_ineq in self.var_index:
+            mids[o.s_A_ineq] = 0.5 * (env[o.l_A_ineq].val +
+                                      env[o.u_A_ineq].val)
+        for var, sz in zip(self.full.variables, self.var_sizes):
+            renv[var] = cg.vector(mids.get(
+                var, jnp.ones((sz,), self.dtype)))
+        renv[self.symbols.mu] = cg.scalar(
+            jnp.asarray(1.0, self.dtype))
+        return renv
+
+    def _assemble_diag(self, env):
+        """Concatenated diagonal of the consumed reduction's diagonal
+        cells (the only cells an IPM iteration changes when the nd
+        diagonal split is valid)."""
+        memo = {}
+        parts = []
+        for i, vi in enumerate(self.red.variables):
+            si = self.red_sizes[i]
+            cell = self.red.lhs[i][i]
+            if cell is E.ZERO:
+                parts.append(jnp.zeros((si,), self.dtype))
+            else:
+                parts.append(jnp.diagonal(cg.as_block(
+                    cg.evaluate(cell, env, memo), si, si)))
+        return (jnp.concatenate(parts) if parts
+                else jnp.zeros((0,), self.dtype))
+
+    def _make_solve_dense(self, env):
+        """Dense LDL^T factor+solve of the assembled reduction (the
+        default path; also consumes the bound H^{-1} of mode='normal')."""
         K = self._assemble_kkt(env)
         L, D = self._factor(K)
         resid = self._residual_fn(K)

@@ -62,11 +62,26 @@ from .ldlt import PIVOT_FLOOR, batched_ldlt
 
 @dataclasses.dataclass(frozen=True)
 class NDLevel:
-    """One elimination-tree level: B supernodes padded to (k, m)."""
-    idx: np.ndarray      # (B, k) int32 variable indices, dummy = n
+    """One elimination-tree level: B supernodes padded to (k, m).
+
+    All indices are in the PLAN'S PERMUTED coordinate system (variables
+    laid out node-run by node-run in elimination order) — that is what
+    makes the device program scatter-free: diagonal blocks become
+    contiguous (k, k) slabs, boundary blocks a row-gather plus one
+    contiguous column slab, and Schur updates flow parent-ward through
+    per-node update matrices (multifrontal) instead of scatter-adds
+    into a global work matrix (measured on v5e: an element-wise
+    (105,64,64) gather costs 4.1 ms and a (105,40,40) scatter-add
+    12-89 ms, vs ~0.3 ms for the slab forms — the entire reason the r3
+    nd path lost to dense)."""
+    idx: np.ndarray      # (B, k) int32 permuted var indices, dummy = n
     valid: np.ndarray    # (B, k) float mask, 1 on live slots
-    bnd: np.ndarray      # (B, m) int32 boundary indices, dummy = n
+    bnd: np.ndarray      # (B, m) int32 permuted boundary idx, dummy = n
     bvalid: np.ndarray   # (B, m) float mask
+    off: np.ndarray      # (B,) int32 var-run start (permuted order)
+    child_ids: np.ndarray   # (B, C) int32 node ids, pad = num_nodes
+    child_map: np.ndarray   # (B, C, m_max) int32 frontal position of the
+    #                         child's t-th boundary column, pad = k + m
 
 
 @dataclasses.dataclass(frozen=True)
@@ -75,6 +90,10 @@ class NDPlan:
     levels: Tuple[NDLevel, ...]
     flops_nd: int        # sum over supernodes of k^3/3 + k^2 m + k m^2
     flops_dense: int     # n^3 / 3
+    perm: np.ndarray = None       # (n,) permuted position -> original var
+    m_max: int = 0                # max padded boundary width over levels
+    num_nodes: int = 0
+    level_id0: Tuple[int, ...] = ()   # first node id of each level
 
 
 #: Fixed per-level cost of the device program expressed in dense-flop
@@ -226,36 +245,97 @@ def nd_plan(pattern: np.ndarray, leaf: int = 32, pad_to: int = 8) -> NDPlan:
     adj = [np.flatnonzero(sym[i]) for i in range(n)]
 
     roots = _dissect(adj, np.arange(n), leaf)
-    nodes = [nd for nd in _symbolic_factor(adj, roots) if len(nd.vars)]
+    nodes_all = _symbolic_factor(adj, roots)   # postorder
+
+    # splice empty supernodes out of every children list so update
+    # matrices always flow through a parent that exists (postorder:
+    # an empty child's own list is already spliced when read here)
+    for nd in nodes_all:
+        nd.children = \
+            [c for c in nd.children if len(c.vars)] + \
+            [g for c in nd.children if not len(c.vars)
+             for g in c.children]
+    nodes = [nd for nd in nodes_all if len(nd.vars)]
 
     # group by height; pad each level to its max (k, m)
     def rup(x, m):
         return max(-(-x // m) * m, m) if x else 0
 
-    levels = []
-    flops = 0
     maxh = max((nd.height for nd in nodes), default=0)
-    for h in range(maxh + 1):
-        group = [nd for nd in nodes if nd.height == h]
-        if not group:
-            continue
-        k = rup(max(len(nd.vars) for nd in group), pad_to)
-        m = rup(max(len(nd.boundary) for nd in group), pad_to)
-        B = len(group)
+    groups = [g for g in ([nd for nd in nodes if nd.height == h]
+                          for h in range(maxh + 1)) if g]
+
+    # elimination-order permutation: node var-runs laid out level by
+    # level; ids assigned in the same order (children always have
+    # smaller ids than their parents)
+    perm = np.concatenate([nd.vars for g in groups for nd in g]) \
+        if nodes else np.zeros((0,), np.int64)
+    pos = np.empty(n, np.int64)
+    pos[perm] = np.arange(len(perm))
+    nid = {}
+    off_of = {}
+    p = 0
+    i = 0
+    for g in groups:
+        for nd in g:
+            nid[id(nd)] = i
+            off_of[id(nd)] = p
+            i += 1
+            p += len(nd.vars)
+    num_nodes = i
+    # per-node boundary in permuted coordinates, sorted — this order
+    # defines the child's U column order AND the parent map below
+    bnd_of = {id(nd): np.sort(pos[nd.boundary]) for g in groups
+              for nd in g}
+
+    level_m = [rup(max(len(nd.boundary) for nd in g), pad_to)
+               for g in groups]
+    m_max = max([max(m, 1) for m in level_m], default=1)
+
+    levels = []
+    level_id0 = []
+    flops = 0
+    for g, m in zip(groups, level_m):
+        k = rup(max(len(nd.vars) for nd in g), pad_to)
+        m = max(m, 1)
+        B = len(g)
+        C = max((len(nd.children) for nd in g), default=0)
+        f = k + m
         idx = np.full((B, k), n, np.int32)
         val = np.zeros((B, k), np.float64)
-        bnd = np.full((B, max(m, 1)), n, np.int32)
-        bval = np.zeros((B, max(m, 1)), np.float64)
-        for i, nd in enumerate(group):
+        bnd = np.full((B, m), n, np.int32)
+        bval = np.zeros((B, m), np.float64)
+        off = np.zeros((B,), np.int32)
+        cids = np.full((B, max(C, 1)), num_nodes, np.int32)
+        cmap = np.full((B, max(C, 1), m_max), f, np.int32)
+        for bi, nd in enumerate(g):
             kv, mv = len(nd.vars), len(nd.boundary)
-            idx[i, :kv] = nd.vars
-            val[i, :kv] = 1.0
-            bnd[i, :mv] = nd.boundary
-            bval[i, :mv] = 1.0
+            o = off_of[id(nd)]
+            off[bi] = o
+            idx[bi, :kv] = o + np.arange(kv)
+            val[bi, :kv] = 1.0
+            bp = bnd_of[id(nd)]
+            bnd[bi, :mv] = bp
+            bval[bi, :mv] = 1.0
             flops += kv ** 3 // 3 + kv * kv * mv + kv * mv * mv
-        levels.append(NDLevel(idx=idx, valid=val, bnd=bnd, bvalid=bval))
+            # frontal position of each global (permuted) index: S run
+            # first (position - off), then the padded boundary slots
+            fp = {int(q): k + j for j, q in enumerate(bp)}
+            for ci, c in enumerate(nd.children):
+                cids[bi, ci] = nid[id(c)]
+                cb = bnd_of[id(c)]
+                for t, q in enumerate(cb):
+                    q = int(q)
+                    if o <= q < o + kv:
+                        cmap[bi, ci, t] = q - o
+                    else:
+                        cmap[bi, ci, t] = fp[q]
+        levels.append(NDLevel(idx=idx, valid=val, bnd=bnd, bvalid=bval,
+                              off=off, child_ids=cids, child_map=cmap))
+        level_id0.append(nid[id(g[0])])
     return NDPlan(n=n, levels=tuple(levels), flops_nd=flops,
-                  flops_dense=n ** 3 // 3)
+                  flops_dense=n ** 3 // 3, perm=perm, m_max=m_max,
+                  num_nodes=num_nodes, level_id0=tuple(level_id0))
 
 
 # ---------------------------------------------------------------------------
@@ -308,43 +388,136 @@ def _solve_vec_blocks(L, D, z, method="jnp"):
     return jax.vmap(_fwd_back)(L, D, z)
 
 
-def nd_factor(K: jnp.ndarray, plan: NDPlan,
-              pivot_floor: float = PIVOT_FLOOR, method: str = "auto"):
-    """Block factorisation along the dissection plan.
+def nd_prework(K: jnp.ndarray, plan: NDPlan):
+    """Extract the per-level static slabs of ``K`` along the plan.
 
-    Returns per-level factors [(L, D, W)]: unit-lower/diagonal LDL^T of
-    each (eliminated) diagonal block and W = Kss^{-1} Ksb, the block
-    row of the factor.  Work matrix carries one dummy row/col (index n)
-    absorbing padding.  ``method``: 'auto' (Pallas batched kernels on
-    TPU, jnp elsewhere), 'pl', or 'jnp'."""
+    Permutes K into elimination order (two row gathers + transposes —
+    the element-wise K[perm][:, perm] gather costs milliseconds on TPU)
+    and cuts, per level, the contiguous diagonal slabs Kss (B, k, k)
+    and boundary blocks Ksb^T (B, m, k), masked/identity-padded.  An
+    IPM iteration only changes the KKT's DIAGONAL, so callers inside a
+    solver loop compute this ONCE outside the loop and pass it to
+    :func:`nd_factor_pre` with just the per-iteration diagonal — XLA's
+    loop-invariant code motion does not hoist gathers, so the hoisting
+    is structural, not left to the compiler."""
     n, dt = plan.n, K.dtype
-    Kp = jnp.zeros((n + 1, n + 1), dt).at[:n, :n].set(K)
-    out = []
+    perm = jnp.asarray(plan.perm)
+    kmax = max((lev.idx.shape[1] for lev in plan.levels), default=1)
+    npad = n + kmax + 1          # slack so (off, k) slabs never clamp
+    Krp = jnp.take(K, perm, axis=0)
+    Kperm = jnp.take(Krp.T, perm, axis=0).T
+    Kpad = jnp.zeros((npad, npad), dt).at[:n, :n].set(Kperm)
+    pre = []
     for lev in plan.levels:
-        idx = jnp.asarray(lev.idx)
         v = jnp.asarray(lev.valid, dt)
         bnd = jnp.asarray(lev.bnd)
         bv = jnp.asarray(lev.bvalid, dt)
+        off = jnp.asarray(lev.off)
         B, k = lev.idx.shape
-        Kss = Kp[idx[:, :, None], idx[:, None, :]]
+        m = lev.bnd.shape[1]
+        Kss = jax.vmap(lambda o: jax.lax.dynamic_slice(
+            Kpad, (o, o), (k, k)))(off)
         mask = v[:, :, None] * v[:, None, :]
-        eye_pad = jnp.eye(k, dtype=dt)[None] * (1.0 - v)[:, :, None]
-        Kss = Kss * mask + eye_pad
-        L, D = _factor_blocks(Kss, pivot_floor, method)
-        Ksb = Kp[idx[:, :, None], bnd[:, None, :]] * \
-            (v[:, :, None] * bv[:, None, :])
-        W = _solve_blocks(L, D, Ksb, method)
-        S = jnp.einsum("bki,bkj->bij", Ksb, W)
-        Kp = Kp.at[bnd[:, :, None], bnd[:, None, :]].add(-S)
+        Kss = Kss * mask + jnp.eye(k, dtype=dt)[None] * \
+            (1.0 - v)[:, :, None]
+        Rb = jnp.take(Kpad, bnd.reshape(-1), axis=0).reshape(B, m, npad)
+        KsbT = jax.vmap(lambda r, o: jax.lax.dynamic_slice(
+            r, (jnp.asarray(0, o.dtype), o), (m, k)))(Rb, off)
+        KsbT = KsbT * (bv[:, :, None] * v[:, None, :])
+        pre.append((Kss, KsbT))
+    return pre
+
+
+def nd_factor_pre(pre, plan: NDPlan, diag_delta: jnp.ndarray = None,
+                  pivot_floor: float = PIVOT_FLOOR, method: str = "auto"):
+    """Multifrontal factorisation from :func:`nd_prework` slabs.
+
+    ``diag_delta``: optional (n,) vector (ORIGINAL coordinates) added
+    to the diagonal — the per-iteration barrier terms.  Returns
+    per-level factors [(L, D, W)] (unit-lower/diagonal LDL^T of each
+    eliminated block, W = Kss^{-1} Ksb) — identical to the classical
+    right-looking result, computed SCATTER-FREE: Schur updates flow
+    parent-ward as per-node update matrices embedded with one-hot
+    matmuls (extend-add) instead of scatter-adds into a global work
+    matrix.  ``method``: 'auto' (Pallas batched kernels on TPU, jnp
+    elsewhere), 'pl', 'jnp'."""
+    dt = pre[0][0].dtype if pre else jnp.float32
+    n = plan.n
+    if diag_delta is not None:
+        perm = jnp.asarray(plan.perm)
+        kmax = max((lev.idx.shape[1] for lev in plan.levels), default=1)
+        wpad = jnp.zeros((n + kmax + 1,), dt).at[:n].set(
+            jnp.take(diag_delta, perm))
+    mm = plan.m_max
+    U_all = jnp.zeros((plan.num_nodes + 1, mm, mm), dt)
+    out = []
+    for lev, id0, (Kss, KsbT) in zip(plan.levels, plan.level_id0, pre):
+        v = jnp.asarray(lev.valid, dt)
+        bv = jnp.asarray(lev.bvalid, dt)
+        off = jnp.asarray(lev.off)
+        B, k = lev.idx.shape
+        m = lev.bnd.shape[1]
+        f = k + m
+        if diag_delta is not None:
+            # the only non-invariant input of the whole factorisation
+            ws = jax.vmap(lambda o: jax.lax.dynamic_slice(
+                wpad, (o,), (k,)))(off)
+            kr = jnp.arange(k)
+            Kss = Kss.at[:, kr, kr].add(ws * v)
+        # frontal matrix: [[K_SS, K_SB], [K_BS, 0]] + child updates
+        F = jnp.zeros((B, f, f), dt)
+        F = F.at[:, :k, :k].set(Kss)
+        F = F.at[:, :k, k:].set(jnp.swapaxes(KsbT, 1, 2))
+        F = F.at[:, k:, :k].set(KsbT)
+        if bool((lev.child_ids < plan.num_nodes).any()):
+            cids = jnp.asarray(lev.child_ids)
+            cu = jnp.take(U_all, cids.reshape(-1), axis=0).reshape(
+                lev.child_ids.shape + (mm, mm))       # (B, C, mm, mm)
+            cmap = jnp.asarray(lev.child_map)         # (B, C, mm)
+            E = (cmap[..., None] ==
+                 jnp.arange(f, dtype=jnp.int32)).astype(dt)  # (B,C,mm,f)
+            T = jnp.einsum("bcij,bcjf->bcif", cu, E)
+            F = F + jnp.einsum("bcie,bcif->bef", E, T)
+        Kss_f = F[:, :k, :k]
+        Ksb_f = F[:, :k, k:]
+        if Ksb_f.shape[-1] and _level_uses_pallas(method, k, dt):
+            # one fused launch: factor + multi-rhs solve in VMEM
+            from .pallas_ldlt import batched_ldlt_solve_matrix_pallas
+            L, D, W = batched_ldlt_solve_matrix_pallas(Kss_f, Ksb_f,
+                                                       pivot_floor)
+        else:
+            L, D = _factor_blocks(Kss_f, pivot_floor, method)
+            W = _solve_blocks(L, D, Ksb_f, method)
+        U = (F[:, k:, k:] - jnp.einsum("bkm,bkj->bmj", Ksb_f, W)) * \
+            (bv[:, :, None] * bv[:, None, :])
         out.append((L, D, W))
+        Upad = jnp.zeros((B, mm, mm), dt).at[:, :m, :m].set(U)
+        U_all = jax.lax.dynamic_update_slice(U_all, Upad, (id0, 0, 0))
     return out
+
+
+def nd_factor(K: jnp.ndarray, plan: NDPlan,
+              pivot_floor: float = PIVOT_FLOOR, method: str = "auto",
+              diag_delta: jnp.ndarray = None):
+    """Multifrontal block factorisation along the dissection plan
+    (= :func:`nd_prework` + :func:`nd_factor_pre`; solver loops call
+    the two pieces separately so the prework hoists out of the loop)."""
+    return nd_factor_pre(nd_prework(K, plan), plan,
+                         diag_delta=diag_delta,
+                         pivot_floor=pivot_floor, method=method)
 
 
 def nd_solve(plan: NDPlan, factors, b: jnp.ndarray,
              method: str = "auto") -> jnp.ndarray:
-    """Solve K x = b with :func:`nd_factor` factors."""
+    """Solve K x = b with :func:`nd_factor` factors.
+
+    The factors (and the plan's index arrays) live in the plan's
+    permuted coordinate system; the rhs is permuted on entry and the
+    solution un-permuted on exit (vector gathers — cheap)."""
     dt = b.dtype
     n = plan.n
+    perm = jnp.asarray(plan.perm)
+    b = jnp.take(b, perm)
     bp = jnp.zeros((n + 1,), dt).at[:n].set(b)
 
     zs = []
@@ -367,7 +540,8 @@ def nd_solve(plan: NDPlan, factors, b: jnp.ndarray,
         y = _solve_vec_blocks(L, D, z, method)
         y = y - jnp.einsum("bkm,bm->bk", W, x[bnd])
         x = x.at[idx].set(y * v)
-    return x[:n]
+    # un-permute: x_orig[perm[p]] = x_perm[p]
+    return jnp.zeros((n,), dt).at[perm].set(x[:n])
 
 
 def _fwd_back(Li, Di, zi):

@@ -223,6 +223,66 @@ def _batched_solve_matrix_t(L_t, D_t, B_t, n: int, bt: int = LANE):
     return x_t
 
 
+def _factor_solve_matrix_kernel(n: int, pivot_floor: float, a_ref, b_ref,
+                                l_ref, d_ref, x_ref):
+    """Fused factor + multi-rhs solve: one kernel launch, the factors
+    never round-trip through HBM between factor and solve."""
+    _factor_kernel(n, pivot_floor, a_ref, l_ref, d_ref)
+    _solve_matrix_kernel(n, l_ref, d_ref, b_ref, x_ref)
+
+
+def batched_ldlt_solve_matrix_pallas(A: jnp.ndarray, R: jnp.ndarray,
+                                     pivot_floor: float = PIVOT_FLOOR):
+    """Fused batched factor+solve: A (B, n, n), R (B, n, k) ->
+    (L, D, X) with L D L^T X_b = R_b — one Pallas launch per batch tile
+    (the separate factor-then-solve path pays a second launch and a
+    factor write+read through HBM)."""
+    B, n, _ = A.shape
+    k = R.shape[-1]
+    if n == 0:
+        return jnp.zeros_like(A), jnp.zeros((B, 0), A.dtype), R
+    if k == 0:
+        L, D = batched_ldlt_pallas(A, pivot_floor)
+        return L, D, R
+    npad = max(_round_up(n, 8), 8)
+    kpad = max(_round_up(k, 8), 8)
+    itemsize = jnp.dtype(A.dtype).itemsize
+    budget = 10 * 1024 * 1024
+    per_instance = (2 * npad * npad + 2 * npad * kpad + npad) * itemsize
+    bt0 = max(LANE, min(512, (budget // per_instance // LANE) * LANE))
+    bt0 = min(bt0, _round_up(max(B, 1), LANE))
+    Bpad = _round_up(max(B, 1), bt0)
+    A_t = jnp.pad(jnp.transpose(A, (1, 2, 0)),
+                  ((0, npad - n), (0, npad - n), (0, Bpad - B)))
+    R_t = jnp.pad(jnp.transpose(R, (1, 2, 0)),
+                  ((0, npad - n), (0, kpad - k), (0, Bpad - B)))
+    grid = (Bpad // bt0,)
+    kernel = functools.partial(_factor_solve_matrix_kernel, n,
+                               pivot_floor)
+    L_t, D_t, x_t = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec((npad, npad, bt0), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((npad, kpad, bt0), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((npad, npad, bt0), lambda i: (0, 0, i),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((npad, bt0), lambda i: (0, i),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((npad, kpad, bt0), lambda i: (0, 0, i),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((npad, npad, Bpad), A.dtype),
+                   jax.ShapeDtypeStruct((npad, Bpad), A.dtype),
+                   jax.ShapeDtypeStruct((npad, kpad, Bpad), A.dtype)),
+        interpret=_interpret(),
+    )(A_t, R_t)
+    L = jnp.transpose(L_t, (2, 0, 1))[:B, :n, :n]
+    D = jnp.transpose(D_t, (1, 0))[:B, :n]
+    X = jnp.transpose(x_t, (2, 0, 1))[:B, :n, :k]
+    return L, D, X
+
+
 def batched_solve_ldlt_matrix_pallas(L: jnp.ndarray, D: jnp.ndarray,
                                      R: jnp.ndarray) -> jnp.ndarray:
     """Multi-rhs batched solve: L (B, n, n), D (B, n), R (B, n, k) ->

@@ -10,7 +10,11 @@ ND_LEVEL_OVERHEAD_FLOPS can be calibrated.  Run on TPU from /root/repo:
     python tools/nd_crossover.py [g1 g2 ...]       # default 16 24 32 48 64
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -26,6 +30,23 @@ def main():
     from ipmzoo_tpu.utils.timing import measure_chain
 
     print(f"backend={jax.default_backend()}", flush=True)
+    from jax import lax
+    Ksteps = 8
+
+    def loop_time(s, data):
+        stepf = s._step_impl
+        pre_fn = getattr(s, "_nd_prework", None)
+
+        @jax.jit
+        def k_steps(state):
+            pre = pre_fn(data) if (pre_fn is not None and
+                                   s._mode == "nd") else None
+            return lax.fori_loop(
+                0, Ksteps,
+                lambda i, st: stepf(st, data, nd_pre=pre), state)
+
+        return measure_chain(k_steps, s.init_state(data)) / Ksteps
+
     for g in sides:
         n = g * g
         fam = grid_qp(side=g, seed=0, dtype=jnp.float32)
@@ -34,15 +55,10 @@ def main():
                          kernel="nd", nd_leaf=64, nd_fallback=False)
         nd._ensure_nd_plan(data)
         plan = nd._nd_plan
-        step = jax.jit(nd._step_impl)
-        state = nd.init_state(data)
-        t_nd = measure_chain(lambda s: step(s, data), state)
-
+        t_nd = loop_time(nd, data)
         dense = CompiledIPM(fam.settings, n=n, dtype=jnp.float32,
                             tol=1e-5)
-        dstep = jax.jit(dense._step_impl)
-        dstate = dense.init_state(data)
-        t_dense = measure_chain(lambda s: dstep(s, data), dstate)
+        t_dense = loop_time(dense, data)
 
         print(f"g={g:3d} n={n:5d}: nd {t_nd * 1e3:7.3f} ms "
               f"({len(plan.levels)} levels) vs dense "
