@@ -403,7 +403,9 @@ def bench_normal(backend):
 
     n = int(os.environ.get("BENCH_NORMAL_N", 1024))
     m = int(os.environ.get("BENCH_NORMAL_M", 128))
-    B = int(os.environ.get("BENCH_NORMAL_B", 8))
+    # B=16 amortises the fixed per-op latencies of the vmapped loop
+    # (measured r4: 1628 it/s vs 1494 at B=8 on v5e)
+    B = int(os.environ.get("BENCH_NORMAL_B", 16))
     data = make_batch(B, n, m, jnp.float32)
     tol = float(os.environ.get("BENCH_NORMAL_TOL", 1e-5))
 
@@ -416,6 +418,10 @@ def bench_normal(backend):
                        + m ** 3 / 3),
         "block": 2 * (n ** 3 / 3 + n * n * m + m * m * n + m ** 3 / 3
                       + 2 * (n * n + n * m + m * m)),
+        # blockg runs the same block elimination (G Cholesky stages +
+        # trailing matmuls), so the flop model matches 'block'
+        "blockg": 2 * (n ** 3 / 3 + n * n * m + m * m * n + m ** 3 / 3
+                       + 2 * (n * n + n * m + m * m)),
     }
 
     def run(kernel):
@@ -430,14 +436,17 @@ def bench_normal(backend):
         t = measure_call(s.solve_batch, data)
         return conv, iters, t, s.aug_dim
 
-    # Both numerically-equivalent stagings of the normal-equations
-    # reduction run and the WINNER is benched: kernel='normal' (symbolic
-    # condensed system consuming the reduction the reference derives but
-    # never solves, /root/reference/src/SymbolicOptimization.cpp:465-478)
-    # and kernel='block' (the same elimination executed as block-level
-    # Cholesky + Schur on the MXU, ops/block_solve.py).
+    # The numerically-equivalent stagings of the normal-equations
+    # reduction race and the WINNER is benched: kernel='normal'
+    # (symbolic condensed system consuming the reduction the reference
+    # derives but never solves,
+    # /root/reference/src/SymbolicOptimization.cpp:465-478),
+    # kernel='block' (the same elimination executed as block-level
+    # Cholesky + Schur on the MXU, ops/block_solve.py) and
+    # kernel='blockg' (signed block-Cholesky, ops/blockg.py — the v5e
+    # winner, tools/normal_probe.py r4).
     results = {}
-    for kernel in ("block", "normal"):
+    for kernel in ("blockg", "block", "normal"):
         try:
             results[kernel] = run(kernel)
         except Exception as e:

@@ -403,11 +403,14 @@ class CompiledIPM(KernelDispatchMixin, DirectionsMixin,
 
         #: 'block' mode: bind explicit H^{-1}/S^{-1} per iteration so
         #: direction solves are matvecs (ops/block_solve.py::
-        #: block2_factor_inv).  "auto" = on TPU only — the 1-rhs
-        #: TriangularSolve latency it removes is a TPU artefact; on CPU
-        #: the extra n-rhs solve is pure overhead.
+        #: block2_factor_inv).  "auto" = OFF: measured on v5e (n=1024,
+        #: m=128, tools/normal_probe.py r4) the n-rhs triangular solve
+        #: pair behind the explicit inverse costs ~15 ms — far more
+        #: than the ~0.7 ms/solve 1-rhs latency it was meant to remove
+        #: (4.98 vs 4.27 ms/step).  Kept as an explicit opt-in for
+        #: workloads with many more solves per factorisation.
         if block_inv == "auto":
-            block_inv = jax.default_backend() == "tpu"
+            block_inv = False
         self._block_inv = bool(block_inv)
 
         # signed row regularisation for the regldlt mode: +1 on primal

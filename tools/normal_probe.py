@@ -10,7 +10,11 @@ Gondzio rounds.  Run on TPU from /root/repo:
     python tools/normal_probe.py [n] [m] [B]
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 import numpy as np
 
