@@ -35,8 +35,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.banded import (ArrowFactors, ArrowStructure, arrow_factor,
-                          arrow_solve, band_to_blocks, bt_solve,
-                          detect_arrow)
+                          arrow_factor_solve, arrow_solve,
+                          band_to_blocks, bt_solve, detect_arrow)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -222,7 +222,8 @@ class ArrowIPM:
 
     # -- direction ---------------------------------------------------------
 
-    def _factor(self, data, vars) -> ArrowFactors:
+    def _condensed(self, data, vars):
+        """Barrier-condensed diagonal blocks (D + diag(w), Ct + diag(w))."""
         x, lg, lh = vars
         g, h = self._slacks(data, x)
         w = lg / g + lh / h
@@ -231,6 +232,10 @@ class ArrowIPM:
         D = data.D.at[:, idx, idx].add(w[:nb].reshape(self.N, self.b))
         tidx = jnp.arange(self.t)
         Ct = data.Ct.at[tidx, tidx].add(w[nb:]) if self.t else data.Ct
+        return D, Ct
+
+    def _factor(self, data, vars) -> ArrowFactors:
+        D, Ct = self._condensed(data, vars)
         return arrow_factor(D, data.E, data.U, Ct, method=self.method)
 
     def _direction(self, data, vars, factors, rx, cg, ch):
@@ -306,11 +311,20 @@ class ArrowIPM:
         g, h = self._slacks(data, x)
         gap = state.gap
 
-        factors = self._factor(data, vars)
         rx = state.rx          # carried from the previous metrics pass
 
-        # affine predictor (mu = 0)
-        d_aff = self._direction(data, vars, factors, rx, g * lg, h * lh)
+        # affine predictor (mu = 0), its banded solve fused into the
+        # factor's arrow-strip multi-rhs solve (ONE k=t+1 kernel launch
+        # instead of a k=t solve + a separate k=1 predictor solve)
+        cg_a, ch_a = g * lg, h * lh
+        rhs = -(rx + cg_a / g - ch_a / h)
+        nb = self.N * self.b
+        Dc, Ctc = self._condensed(data, vars)
+        factors, (dxb_a, dxt_a) = arrow_factor_solve(
+            Dc, data.E, data.U, Ctc, rhs[:nb], rhs[nb:],
+            method=self.method)
+        dx_a = jnp.concatenate([dxb_a, dxt_a])
+        d_aff = (dx_a, (-cg_a - lg * dx_a) / g, (-ch_a + lh * dx_a) / h)
         alpha_aff = self._max_step(data, vars, d_aff)
         trial = tuple(v + alpha_aff * dv for v, dv in zip(vars, d_aff))
         gap_aff = self._gap_at(data, trial)
