@@ -350,31 +350,46 @@ def bench_nd(backend):
           file=sys.stderr)
 
     # per-iteration cost INSIDE a compiled loop (what solve() runs):
-    # the nd path factors a loop-invariant reference matrix plus the
-    # per-iteration barrier diagonal, and XLA hoists the invariant
-    # permute/gather work out of the loop — a single-step measurement
-    # has no loop to hoist into and overstates the nd cost
+    # slope over two trip counts so the once-per-solve prework (the
+    # loop-invariant slab gathers) and the program-launch floor cancel
+    # exactly; nd/dense rounds interleaved (the dense denominator
+    # swings ~30% between separated runs), median of 3
     from jax import lax
-    Ksteps = 8
+    from ipmzoo_tpu.utils.timing import measure_call
 
-    def loop_time(s):
+    def loop_pair(s, k1, k2):
         stepf = s._step_impl
         pre_fn = getattr(s, "_nd_prework", None)
 
-        @jax.jit
-        def k_steps(state):
-            pre = pre_fn(data) if (pre_fn is not None and
-                                   s._mode == "nd") else None
-            return lax.fori_loop(
-                0, Ksteps,
-                lambda i, st: stepf(st, data, nd_pre=pre), state)
+        def make(K):
+            @jax.jit
+            def k_steps(state):
+                pre = pre_fn(data) if (pre_fn is not None and
+                                       s._mode == "nd") else None
+                return lax.fori_loop(
+                    0, K, lambda i, st: stepf(st, data, nd_pre=pre),
+                    state)
+            return k_steps
 
+        f1, f2 = make(k1), make(k2)
         state = s.init_state(data)
-        return measure_chain(k_steps, state) / Ksteps
+        measure_call(f1, state)     # warm/compile both trip counts
+        measure_call(f2, state)
+        return lambda: (measure_call(f2, state) -
+                        measure_call(f1, state)) / (k2 - k1)
 
-    t_nd = loop_time(solver)
     dense = CompiledIPM(fam.settings, n=n, dtype=jnp.float32, tol=1e-5)
-    t_dense = loop_time(dense)
+    nd_t = loop_pair(solver, 2, 8)
+    dn_t = loop_pair(dense, 2, 8)
+    ts_n, ts_d = [], []
+    for _ in range(3):
+        ts_n.append(nd_t())
+        ts_d.append(dn_t())
+    t_nd = float(np.median(ts_n))
+    t_dense = float(np.median(ts_d))
+    print(f"nd rounds (ms/iter): nd "
+          f"{[round(t * 1e3, 3) for t in ts_n]}, dense "
+          f"{[round(t * 1e3, 3) for t in ts_d]}", file=sys.stderr)
 
     speedup = t_dense / t_nd
     print(f"nd: {t_nd * 1e3:.3f} ms/iter vs {t_dense * 1e3:.2f} ms/iter "

@@ -94,25 +94,46 @@ class NDPlan:
     m_max: int = 0                # max padded boundary width over levels
     num_nodes: int = 0
     level_id0: Tuple[int, ...] = ()   # first node id of each level
+    #: amalgamated-top signed-Cholesky split: the last level is a single
+    #: merged supernode whose first ``top_neg`` variables carry negative
+    #: structural sign (dual rows) and the rest positive — factored by
+    #: two MXU Cholesky stages instead of the sequential-column LDL^T.
+    #: -1 = no signed top (generic per-level kernels everywhere).
+    top_neg: int = -1
 
 
-#: Fixed per-level cost of the device program expressed in dense-flop
-#: equivalents: each level pays gathers/scatters over the (n, n) work
-#: matrix plus kernel dispatch regardless of its flop count, so a plan
-#: with a huge flop ratio can still LOSE to dense when n is small
-#: (measured r3: 2060x flop ratio, 0.2x actual).  Calibrate against the
-#: measured crossover (tools/nd_probe.py); used by the auto-fallback.
-ND_LEVEL_OVERHEAD_FLOPS = 2.0e7
+#: Time-based cost model, CALIBRATED against the measured nd/dense
+#: crossover table (tools/nd_crossover.py, v5e, r5 — interleaved
+#: two-trip-count slope timing; least-squares fit over g=24..64 grid
+#: QPs).  The old flop-only model was structurally wrong in both
+#: directions: it could not see the dense path's latency floor (dense
+#: n=576 measures 0.25 ms against a 7 us flop budget) nor nd's fixed
+#: per-level cost, and predicted 227x where 2.2x was measured.
+#:
+#:   t_nd    = ND_T_LEVEL * levels + 2 * flops_nd / ND_FLOP_RATE
+#:   t_dense = DENSE_T_FLOOR + DENSE_A * n^2 + DENSE_B * n^3
+#:
+#: Fit residuals are <~20% on every measured point (576..4096); the
+#: constants are v5e-specific but the win/loss decision they encode
+#: (per-level latency vs dense floor/cubic) is shape-correct on any
+#: accelerator with a dispatch floor.
+ND_T_LEVEL = 3.2e-5        # s per device level (launch + glue)
+ND_FLOP_RATE = 3.1e10      # effective FLOP/s of the batched level ops
+DENSE_T_FLOOR = 2.3e-4     # s; latency floor of one dense step
+DENSE_A = 1.34e-10         # s per n^2 (assembly/memory-bound share)
+DENSE_B = 1.29e-14         # s per n^3 (MXU factor share)
 
 
 def nd_predicted_speedup(plan: NDPlan) -> float:
-    """Predicted step speedup of the plan vs the dense factorisation,
-    from the flop counts plus the per-level fixed overhead.  > 1 means
-    the plan is predicted to win; CompiledIPM's auto-fallback refuses
-    plans below its threshold so a losing nd plan is never silently
-    selected."""
-    eff = plan.flops_nd + len(plan.levels) * ND_LEVEL_OVERHEAD_FLOPS
-    return plan.flops_dense / max(eff, 1.0)
+    """Predicted step speedup of the plan vs the dense factorisation
+    from the calibrated time model above.  > 1 means the plan is
+    predicted to win; CompiledIPM's auto-fallback refuses plans below
+    its threshold so a losing nd plan is never silently selected."""
+    t_nd = ND_T_LEVEL * len(plan.levels) + \
+        2.0 * plan.flops_nd / ND_FLOP_RATE
+    n = float(plan.n)
+    t_dense = DENSE_T_FLOOR + DENSE_A * n * n + DENSE_B * n ** 3
+    return t_dense / max(t_nd, 1e-12)
 
 
 def _bfs_levels(adj: List[np.ndarray], start: int,
@@ -231,21 +252,96 @@ def _symbolic_factor(adj, roots: List[_Node]) -> List[_Node]:
     return out
 
 
-def nd_plan(pattern: np.ndarray, leaf: int = 32, pad_to: int = 8) -> NDPlan:
+def _amalgamate_top(nodes_all: list, root_merge: int,
+                    signs: np.ndarray = None):
+    """Merge the TOP of the separator tree into one dense supernode.
+
+    Every device level costs ~8-10 XLA/Pallas ops of fixed latency
+    (~80-100 us on the tunnelled v5e) regardless of its flop count, and
+    the upper separator levels hold only a few tiny nodes — measured at
+    g=64/leaf=64: levels 3-6 carry 13 nodes / ~336 variables total yet
+    cost ~340 us of the 693 us factorisation.  Amalgamating all nodes
+    of height >= H (an upper-closed set: height strictly increases
+    toward the root, so their united boundary is internal) into ONE
+    supernode factors those ~336 variables as a single dense MXU block
+    — a classical supernode amalgamation, applied at the tree top where
+    the latency/flop trade is most lopsided.  ``root_merge`` caps the
+    merged variable count; H is the smallest height whose upper set
+    fits, with H >= 1 so leaves never merge.
+
+    ``signs``: optional (n,) +-1 structural signs (positive primal /
+    negative dual groups, the same signs ops/blockg.py uses).  When
+    given, the merged block's variables are ordered negatives-first so
+    the device factorisation can run as TWO MXU Cholesky stages
+    (chol(-N), then chol of the positive Schur complement — Vanderbei's
+    quasi-definite factorizability) instead of a k-step sequential
+    LDL^T; identity-padded dummy slots land in the trailing positive
+    block.  Returns (nodes, top_neg) with top_neg = -1 when no signed
+    top exists."""
+    if root_merge <= 0:
+        return nodes_all, -1
+    maxh = max((nd.height for nd in nodes_all), default=0)
+    best_h = None
+    for H in range(1, maxh + 1):
+        size = sum(len(nd.vars) for nd in nodes_all if nd.height >= H)
+        if size and size <= root_merge:
+            best_h = H
+            break
+    if best_h is None:
+        return nodes_all, -1
+    merged = [nd for nd in nodes_all if nd.height >= best_h]
+    if len(merged) <= 1:
+        return nodes_all, -1
+    keep = [nd for nd in nodes_all if nd.height < best_h]
+    merged_ids = {id(nd) for nd in merged}
+    # level-by-level order inside the dense block (any symmetric order
+    # is factorizable for quasi-definite K)
+    tvars = np.concatenate(
+        [nd.vars for h in range(best_h, maxh + 1)
+         for nd in nodes_all if nd.height == h])
+    top_neg = -1
+    if signs is not None:
+        sv = np.asarray(signs)[tvars]
+        tvars = np.concatenate([tvars[sv < 0], tvars[sv >= 0]])
+        top_neg = int((sv < 0).sum())
+    top = _Node(
+        vars=tvars,
+        children=[c for nd in merged for c in nd.children
+                  if id(c) not in merged_ids],
+        height=best_h)
+    own = set(top.vars.tolist())
+    bset = sorted({int(v) for nd in merged for v in nd.boundary} - own)
+    top.boundary = np.asarray(bset, np.int64)
+    return keep + [top], top_neg
+
+
+def nd_plan(pattern: np.ndarray, leaf: int = 32, pad_to: int = 8,
+            root_merge: int = None, signs: np.ndarray = None) -> NDPlan:
     """Build the dissection plan for a symmetric sparsity ``pattern``
     ((n, n) bool; the diagonal is implicitly nonzero).
 
     ``leaf``: stop dissecting below this many variables.  ``pad_to``:
     round padded block sizes up to this multiple (sublane friendliness).
+    ``root_merge``: amalgamate the top of the separator tree into one
+    dense supernode of at most this many variables (0 disables;
+    default min(512, n // 8) — the trade only pays while the merged
+    block stays a small fraction of the problem) — see
+    :func:`_amalgamate_top`.  ``signs``: optional (n,) +-1 structural
+    signs enabling the merged top's two-stage Cholesky factorisation.
     """
     pattern = np.asarray(pattern)
     n = pattern.shape[0]
+    if root_merge is None:
+        root_merge = min(512, n // 8)
+    if signs is not None and len(np.asarray(signs)) != n:
+        signs = None
     sym = pattern | pattern.T
     np.fill_diagonal(sym, False)
     adj = [np.flatnonzero(sym[i]) for i in range(n)]
 
     roots = _dissect(adj, np.arange(n), leaf)
     nodes_all = _symbolic_factor(adj, roots)   # postorder
+    nodes_all, top_neg = _amalgamate_top(nodes_all, root_merge, signs)
 
     # splice empty supernodes out of every children list so update
     # matrices always flow through a parent that exists (postorder:
@@ -333,9 +429,12 @@ def nd_plan(pattern: np.ndarray, leaf: int = 32, pad_to: int = 8) -> NDPlan:
         levels.append(NDLevel(idx=idx, valid=val, bnd=bnd, bvalid=bval,
                               off=off, child_ids=cids, child_map=cmap))
         level_id0.append(nid[id(g[0])])
+    if top_neg >= 0 and not (levels and levels[-1].idx.shape[0] == 1):
+        top_neg = -1       # merged top vanished in the splice; be safe
     return NDPlan(n=n, levels=tuple(levels), flops_nd=flops,
                   flops_dense=n ** 3 // 3, perm=perm, m_max=m_max,
-                  num_nodes=num_nodes, level_id0=tuple(level_id0))
+                  num_nodes=num_nodes, level_id0=tuple(level_id0),
+                  top_neg=top_neg)
 
 
 # ---------------------------------------------------------------------------
@@ -480,7 +579,25 @@ def nd_factor_pre(pre, plan: NDPlan, diag_delta: jnp.ndarray = None,
             F = F + jnp.einsum("bcie,bcif->bef", E, T)
         Kss_f = F[:, :k, :k]
         Ksb_f = F[:, :k, k:]
-        if Ksb_f.shape[-1] and _level_uses_pallas(method, k, dt):
+        if lev is plan.levels[-1] and plan.top_neg >= 0 and B == 1:
+            # amalgamated top: two MXU Cholesky stages (negatives
+            # first, then the SPD Schur of the positive block —
+            # Vanderbei quasi-definite factorizability), re-expressed
+            # as unit-L/D so nd_solve is oblivious.  Replaces the
+            # k-step sequential-column LDL^T the generic path would
+            # run on a single large block (measured: a merged k=328
+            # block cost ~2 ms through the column loop, ~40 us here).
+            # The factor slot carries Linv (NOT L): the per-rhs top
+            # solves in nd_solve become two MXU matvecs instead of two
+            # sequential triangular solves (the plan's top_neg >= 0
+            # marks the convention).
+            L, D = _signed_top_factor(Kss_f[0], plan.top_neg)
+            eye = jnp.eye(k, dtype=dt)
+            Linv = solve_triangular(L, eye, lower=True,
+                                    unit_diagonal=True)
+            W = (Linv.T @ ((Linv @ Ksb_f[0]) / D[:, None]))[None]
+            L, D = Linv[None], D[None]
+        elif Ksb_f.shape[-1] and _level_uses_pallas(method, k, dt):
             # one fused launch: factor + multi-rhs solve in VMEM
             from .pallas_ldlt import batched_ldlt_solve_matrix_pallas
             L, D, W = batched_ldlt_solve_matrix_pallas(Kss_f, Ksb_f,
@@ -494,6 +611,48 @@ def nd_factor_pre(pre, plan: NDPlan, diag_delta: jnp.ndarray = None,
         Upad = jnp.zeros((B, mm, mm), dt).at[:, :m, :m].set(U)
         U_all = jax.lax.dynamic_update_slice(U_all, Upad, (id0, 0, 0))
     return out
+
+
+def _signed_top_factor(Kf: jnp.ndarray, nneg: int):
+    """Unit-L/D LDL^T of a quasi-definite block ordered negatives-first
+    via two dense Cholesky stages (all MXU work):
+
+        K = [[N, B^T], [B, P]],  N neg.def., P pos.def. (after any
+        leading eliminations — quasi-definiteness is closed under
+        Schur complements)
+
+        Ln = chol(-N);  T = Ln^{-1} B^T;  Lp = chol(P + T^T T)
+        K  = Lf Sigma Lf^T,  Lf = [[Ln, 0], [-T^T, Lp]],
+        Sigma = diag(-I, +I)
+
+    Returned as (L, D) with L unit-lower and D carrying the signs:
+    L = Lf diag(1/diag(Lf)), D = sigma * diag(Lf)^2 — the exact format
+    every other level produces, so the solve sweeps are unchanged."""
+    k = Kf.shape[0]
+    dt = Kf.dtype
+    if nneg == 0:
+        Lf = jnp.linalg.cholesky(Kf)
+        sigma = jnp.ones((k,), dt)
+    elif nneg == k:
+        Lf = jnp.linalg.cholesky(-Kf)
+        sigma = -jnp.ones((k,), dt)
+    else:
+        N = Kf[:nneg, :nneg]
+        Bt = Kf[:nneg, nneg:]
+        P = Kf[nneg:, nneg:]
+        Ln = jnp.linalg.cholesky(-N)
+        T = solve_triangular(Ln, Bt, lower=True)
+        Lp = jnp.linalg.cholesky(P + T.T @ T)
+        Lf = jnp.zeros((k, k), dt)
+        Lf = Lf.at[:nneg, :nneg].set(Ln)
+        Lf = Lf.at[nneg:, :nneg].set(-T.T)
+        Lf = Lf.at[nneg:, nneg:].set(Lp)
+        sigma = jnp.concatenate([-jnp.ones((nneg,), dt),
+                                 jnp.ones((k - nneg,), dt)])
+    d = jnp.diagonal(Lf)
+    L = Lf / d[None, :]
+    D = sigma * d * d
+    return L, D
 
 
 def nd_factor(K: jnp.ndarray, plan: NDPlan,
@@ -537,7 +696,12 @@ def nd_solve(plan: NDPlan, factors, b: jnp.ndarray,
         idx = jnp.asarray(lev.idx)
         v = jnp.asarray(lev.valid, dt)
         bnd = jnp.asarray(lev.bnd)
-        y = _solve_vec_blocks(L, D, z, method)
+        if lev is plan.levels[-1] and plan.top_neg >= 0:
+            # amalgamated top stores Linv: solve = two MXU matvecs
+            Li = L[0]
+            y = (Li.T @ ((Li @ z[0]) / D[0]))[None]
+        else:
+            y = _solve_vec_blocks(L, D, z, method)
         y = y - jnp.einsum("bkm,bm->bk", W, x[bnd])
         x = x.at[idx].set(y * v)
     # un-permute: x_orig[perm[p]] = x_perm[p]

@@ -93,6 +93,33 @@ class TestParity:
         K = np.block([[Q, A.T], [A, -1e-4 * np.eye(m)]])
         check_roundtrip(K, atol=1e-7)
 
+    def test_signed_amalgamated_top(self):
+        # structural signs route the merged top block through the
+        # two-stage Cholesky (ops/ndiss.py::_signed_top_factor); parity
+        # against the dense LDL^T on a mixed quasi-definite KKT
+        rng = np.random.default_rng(11)
+        n, m = 120, 30
+        Q = banded_qd(n, 2, seed=12)
+        Q = Q @ Q.T / 10 + np.eye(n)
+        Q[np.abs(Q) < 1e-12] = 0.0
+        A = np.zeros((m, n))
+        for i in range(m):
+            j = (i * n) // m
+            A[i, j:j + 3] = rng.normal(size=min(3, n - j))
+        K = np.block([[Q, A.T], [A, -1e-4 * np.eye(m)]])
+        signs = np.concatenate([np.ones(n), -np.ones(m)])
+        plan = nd_plan(K != 0, leaf=16, root_merge=64, signs=signs)
+        assert plan.top_neg >= 0, "amalgamated signed top expected"
+        Kj = jnp.asarray(K)
+        b = rng.normal(size=n + m)
+        factors = nd_factor(Kj, plan)
+        x = nd_solve(plan, factors, jnp.asarray(b))
+        x_ref = ldlt_solve(Kj, jnp.asarray(b))
+        np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref),
+                                   atol=1e-7, rtol=1e-7)
+        # mixed split: some negatives actually reached the top block
+        assert 0 < plan.top_neg < plan.levels[-1].idx.shape[1]
+
     def test_tree_structured(self):
         # binary-tree coupling: separators are single vertices
         n = 127
