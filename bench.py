@@ -586,12 +586,18 @@ def bench_aug(backend):
 
 
 def bench_schur(backend):
-    """BASELINE config 5 (single-chip line): block-separable coupled QP
-    through the distributed Schur-complement IPM.  On one device the
-    psum is free; on a pod slice the same program shards blocks over
-    the mesh with one (m_c^2 + m_c)-float psum per solve phase (the
-    2-process path is exercised by tests/test_distributed.py and
+    """BASELINE config 5 (single-chip line): block-separable coupled QPs
+    through the distributed Schur-complement IPM, at the
+    REFERENCE-PARITY tolerance 1e-8 from pure f32 arithmetic
+    (two_float=True: double-single iterates + compensated residuals,
+    f32 factorisations — parallel/schur.py).  A batch of independent
+    coupled-QP INSTANCES runs as vmapped lanes of one program,
+    amortising the short per-instance iteration count; on one device
+    the psum is free; on a pod slice the same program shards blocks
+    over the mesh with one (m_c^2 + m_c)-float psum per solve phase
+    (the 2-process path is exercised by tests/test_distributed.py and
     dryrun_multichip)."""
+    import jax
     import jax.numpy as jnp
     from ipmzoo_tpu.parallel.schur import BlockQPData, SchurIPM
     from ipmzoo_tpu.utils.timing import measure_call
@@ -599,28 +605,46 @@ def bench_schur(backend):
     blocks = int(os.environ.get("BENCH_SCHUR_BLOCKS", 64))
     n = int(os.environ.get("BENCH_SCHUR_N", 64))
     m_c = int(os.environ.get("BENCH_SCHUR_MC", 16))
+    inst = int(os.environ.get("BENCH_SCHUR_I", 8))
+    tol = float(os.environ.get("BENCH_SCHUR_TOL", 1e-8))
     rng = np.random.default_rng(0)
-    M = rng.normal(size=(blocks, n, n))
-    Q = np.einsum("bij,bkj->bik", M, M) / n + np.eye(n)
-    data = BlockQPData(
-        Q=jnp.asarray(Q, jnp.float32),
-        c=jnp.asarray(rng.normal(size=(blocks, n)), jnp.float32),
-        F=jnp.asarray(rng.normal(size=(blocks, m_c, n)) / blocks,
-                      jnp.float32),
-        l_x=jnp.full((blocks, n), -3.0, jnp.float32),
-        u_x=jnp.full((blocks, n), 3.0, jnp.float32),
-        g=jnp.asarray(rng.normal(size=(m_c,)) * 0.1, jnp.float32))
-    s = SchurIPM(n=n, m_c=m_c, dtype=jnp.float32, tol=1e-5)
-    res = s.solve(data)
-    if not bool(res.converged):
-        raise RuntimeError("schur solver did not converge")
-    iters = float(res.iterations)
-    t = measure_call(s.solve, data)
-    label = (f"IPM iterations/s, block-separable coupled QP "
-             f"({blocks} blocks x n={n}, m_c={m_c}) via the "
-             f"Schur-complement IPM, fully solved in {int(iters)} "
-             f"iterations ({backend})")
-    # reference baseline: the monolithic dense KKT of the coupled QP
+
+    def make(seed):
+        r = np.random.default_rng(seed)
+        M = r.normal(size=(blocks, n, n))
+        Q = np.einsum("bij,bkj->bik", M, M) / n + np.eye(n)
+        return BlockQPData(
+            Q=jnp.asarray(Q, jnp.float32),
+            c=jnp.asarray(r.normal(size=(blocks, n)), jnp.float32),
+            F=jnp.asarray(r.normal(size=(blocks, m_c, n)) / blocks,
+                          jnp.float32),
+            l_x=jnp.full((blocks, n), -3.0, jnp.float32),
+            u_x=jnp.full((blocks, n), 3.0, jnp.float32),
+            g=jnp.asarray(r.normal(size=(m_c,)) * 0.1, jnp.float32))
+
+    datas = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *[make(s) for s in range(inst)])
+    s = SchurIPM(n=n, m_c=m_c, dtype=jnp.float32, tol=tol,
+                 two_float=(tol < 1e-6), refine=2, max_iter=60)
+    res = s.solve_batch(datas)
+    conv = float(jnp.mean(res.converged.astype(jnp.float32)))
+    if conv < 0.99:
+        raise RuntimeError(f"schur convergence too low: {conv}")
+    iters = float(jnp.sum(res.iterations.astype(jnp.float32)))
+    steps = float(jnp.max(res.iterations.astype(jnp.float32)))
+    t = measure_call(s.solve_batch, datas)
+    print(f"schur: {inst} instances x {blocks} blocks x n={n}, "
+          f"m_c={m_c}, tol={tol:g}: {t * 1e3:.2f} ms/solve-batch, "
+          f"{t / steps * 1e3:.3f} ms/iteration, "
+          f"{iters / t:.0f} useful it/s, {conv * 100:.0f}% converged",
+          file=sys.stderr)
+    label = (f"IPM iterations/s, {inst} block-separable coupled QPs "
+             f"({blocks} blocks x n={n}, m_c={m_c}) FULLY SOLVED to the "
+             f"reference-parity tol={tol:g} in pure-f32 two-float "
+             f"arithmetic via the Schur-complement IPM "
+             f"({conv * 100:.0f}% converged, "
+             f"{t / steps * 1e3:.2f} ms/iteration, {backend})")
+    # reference baseline: the monolithic dense KKT of ONE coupled QP
     # (blocks*n primal + m_c coupling duals) at its measured GFLOP/s
     return (label, iters / t, "iterations/s",
             _ref_its_per_s(blocks * n + m_c))

@@ -106,11 +106,28 @@ class SchurIPM:
                  axis: str = "dp", dtype=jnp.float64, tol: float = 1e-8,
                  max_iter: int = 100, fraction_to_boundary: float = 0.995,
                  delta: float = 1e-8, pivot_floor: float = PIVOT_FLOOR,
-                 refine: int = 1, block_kernel: str = "auto"):
+                 refine: int = 1, block_kernel: str = "auto",
+                 two_float: bool = False):
         self.n, self.m_c = n, m_c
         self.mesh, self.axis = mesh, axis
         self.dtype = dtype
         self.tol = tol
+        #: two_float=True carries the iterate as (hi, lo) double-single
+        #: pairs (stacked leading-2 axis on every state leaf) and
+        #: evaluates the cancellation-dominated quantities — the
+        #: stationarity residual, the complementarity products and the
+        #: coupling residual — in compensated double-single arithmetic
+        #: (ops/twofloat.py), while the per-iteration FACTORISATIONS
+        #:  stay in working precision.  Unlike the augmented KKT path
+        #: (whose indefinite system needs the full double-single factor,
+        #: ops/ldlt_df.py — see tests/test_precision_floor.py), the
+        #: Schur elimination only factors SPD blocks H_b = Q_b +
+        #: barrier diagonal whose ill-conditioning is purely diagonal,
+        #: so the f32 factor's componentwise-stable backward error does
+        #: not set a floor above 1e-8: the reference-parity tolerance
+        #: (Optimizer.cpp:124,133) is reachable from pure f32 TPU
+        #: arithmetic (pinned by tests/test_schur.py).
+        self.two_float = two_float
         self.max_iter = max_iter
         self.ftb = fraction_to_boundary
         self.delta = delta
@@ -175,15 +192,25 @@ class SchurIPM:
     def _local_rhs(self, data, st, grad, fact, mu, corr=None):
         """Residual vectors + the local H^{-1} r_x Schur contribution
         for one solve phase.  corr = (dx_aff, dz_l_aff, dz_u_aff) adds
-        the Mehrotra second-order correction."""
-        # complementarity (with correction for the corrector phase)
-        r_l = st.s_l * st.z_l - mu
-        r_u = st.s_u * st.z_u - mu
+        the Mehrotra second-order correction.  ``grad`` is the rounded
+        stationarity residual (double-single under two_float)."""
+        # complementarity (with correction for the corrector phase);
+        # under two_float the cancellation s z - mu is pair-exact
+        if self.two_float:
+            from ..ops.twofloat import two_sum
+            (clh, cll), (cuh, cul) = self._comp_ds(st)
+            s, e = two_sum(clh, -mu)
+            r_l = s + (e + cll)
+            s, e = two_sum(cuh, -mu)
+            r_u = s + (e + cul)
+        else:
+            r_l = st.s_l * st.z_l - mu
+            r_u = st.s_u * st.z_u - mu
         if corr is not None:
             dx_aff, dzl_aff, dzu_aff = corr
             r_l = r_l + dx_aff * dzl_aff          # ds_l = dx
             r_u = r_u + (-dx_aff) * dzu_aff       # ds_u = -dx
-        r_x = -grad - r_l / st.s_l + r_u / st.s_u
+        r_x = -grad - r_l / self._val(st.s_l) + r_u / self._val(st.s_u)
         Hinv_rx = self._solve_H(fact, r_x)
         rS_local = jnp.einsum("bij,bj->i", data.F, Hinv_rx)
         return rS_local, (Hinv_rx, r_l, r_u)
@@ -194,8 +221,8 @@ class SchurIPM:
         dx = Hinv_rx - jnp.einsum("bij,j->bi", Hinv_FT, dnu)
         ds_l = dx
         ds_u = -dx
-        dz_l = -(r_l + st.z_l * ds_l) / st.s_l
-        dz_u = -(r_u + st.z_u * ds_u) / st.s_u
+        dz_l = -(r_l + self._val(st.z_l) * ds_l) / self._val(st.s_l)
+        dz_u = -(r_u + self._val(st.z_u) * ds_u) / self._val(st.s_u)
         return dx, ds_l, ds_u, dz_l, dz_u
 
     def _max_step(self, st, d):
@@ -204,21 +231,91 @@ class SchurIPM:
             r = jnp.where(dv < 0, -v / jnp.where(dv < 0, dv, -1.0), jnp.inf)
             return jnp.min(r, initial=jnp.inf)
         return jnp.minimum(1.0, jnp.minimum(
-            jnp.minimum(ratio(st.s_l, ds_l), ratio(st.s_u, ds_u)),
-            jnp.minimum(ratio(st.z_l, dz_l), ratio(st.z_u, dz_u))))
+            jnp.minimum(ratio(self._val(st.s_l), ds_l),
+                        ratio(self._val(st.s_u), ds_u)),
+            jnp.minimum(ratio(self._val(st.z_l), dz_l),
+                        ratio(self._val(st.z_u), dz_u))))
 
     def _psum(self, x, axis_name):
         if axis_name is None:
             return x
         return jax.lax.psum(x, axis_name)
 
+    # -- two-float state helpers (no-ops when two_float=False) ---------
+    # State leaves are plain arrays normally, stacked (2, ...) (hi, lo)
+    # double-single pairs under two_float.
+
+    def _val(self, v):
+        """Rounded working-precision value of a state leaf."""
+        return (v[0] + v[1]) if self.two_float else v
+
+    def _pair(self, v):
+        """Lift an exact working-precision array to a (hi, lo) pair."""
+        return jnp.stack([v, jnp.zeros_like(v)]) if self.two_float else v
+
+    def _axpy(self, v, a, d):
+        """v + a * d (pair-exact under two_float; a scalar, d plain)."""
+        if not self.two_float:
+            return v + a * d
+        from ..ops.twofloat import df_add, two_prod
+        p, e = two_prod(jnp.asarray(a, self.dtype), d)
+        return jnp.stack(df_add((v[0], v[1]), (p, e)))
+
+    def _grad_ds(self, data, st):
+        """Stationarity residual Q x + c + F^T nu - z_l + z_u as a
+        (hi, lo) pair: near the optimum its O(1) terms cancel to ~tol,
+        so f32 evaluation would floor the residual at ~sqrt(n) * eps_f32
+        * ||Q x|| ~ 1e-5 — compensated products + tree-fold accumulation
+        keep the cancellation exact to ~2^-48."""
+        from ..ops.twofloat import df_add, df_mul, df_neg, df_sum
+        qh, ql = df_mul((data.Q, jnp.zeros_like(data.Q)),
+                        (st.x[0][:, None, :], st.x[1][:, None, :]))
+        g = df_sum(qh, ql, axis=-1)
+        fh, fl = df_mul((data.F, jnp.zeros_like(data.F)),
+                        (st.nu[0][None, :, None], st.nu[1][None, :, None]))
+        g = df_add(g, df_sum(fh, fl, axis=1))
+        g = df_add(g, (data.c, jnp.zeros_like(data.c)))
+        g = df_add(g, df_neg((st.z_l[0], st.z_l[1])))
+        g = df_add(g, (st.z_u[0], st.z_u[1]))
+        return g
+
+    def _coupling_ds(self, data, st, axis_name):
+        """sum_b F_b x_b - g in double-single, rounded at the end."""
+        from ..ops.twofloat import df_mul, df_sum, two_sum
+        ph, pl = df_mul((data.F, jnp.zeros_like(data.F)),
+                        (st.x[0][:, None, :], st.x[1][:, None, :]))
+        ph = jnp.moveaxis(ph, 1, 0).reshape(self.m_c, -1)
+        pl = jnp.moveaxis(pl, 1, 0).reshape(self.m_c, -1)
+        hi, lo = df_sum(ph, pl, axis=-1)
+        # psum hi/lo separately: the cross-device fold loses pair
+        # normalisation but keeps ~2x-precision absolute error
+        hi = self._psum(hi, axis_name)
+        lo = self._psum(lo, axis_name)
+        s, e = two_sum(hi, -data.g)
+        return s + (e + lo)
+
+    def _comp_ds(self, st):
+        """Complementarity products s.z as (hi, lo) pairs."""
+        from ..ops.twofloat import df_mul
+        return (df_mul((st.s_l[0], st.s_l[1]), (st.z_l[0], st.z_l[1])),
+                df_mul((st.s_u[0], st.s_u[1]), (st.z_u[0], st.z_u[1])))
+
     def _metrics(self, data, st, axis_name):
-        grad = (jnp.einsum("bij,bj->bi", data.Q, st.x) + data.c +
-                jnp.einsum("bij,i->bj", data.F, st.nu) - st.z_l + st.z_u)
-        coupling = self._psum(jnp.einsum("bij,bj->i", data.F, st.x),
-                              axis_name) - data.g
-        comp = jnp.concatenate([(st.s_l * st.z_l).ravel(),
-                                (st.s_u * st.z_u).ravel()])
+        if self.two_float:
+            gh, gl = self._grad_ds(data, st)
+            grad = gh + gl
+            coupling = self._coupling_ds(data, st, axis_name)
+            (clh, cll), (cuh, cul) = self._comp_ds(st)
+            comp = jnp.concatenate([(clh + cll).ravel(),
+                                    (cuh + cul).ravel()])
+        else:
+            grad = (jnp.einsum("bij,bj->bi", data.Q, st.x) + data.c +
+                    jnp.einsum("bij,i->bj", data.F, st.nu) -
+                    st.z_l + st.z_u)
+            coupling = self._psum(jnp.einsum("bij,bj->i", data.F, st.x),
+                                  axis_name) - data.g
+            comp = jnp.concatenate([(st.s_l * st.z_l).ravel(),
+                                    (st.s_u * st.z_u).ravel()])
         sq = jnp.sum(grad ** 2) + jnp.sum(comp ** 2)
         sq = self._psum(sq, axis_name) + jnp.sum(coupling ** 2)
         residual = jnp.sqrt(sq)
@@ -238,26 +335,44 @@ class SchurIPM:
         # where a bare Cholesky would produce NaN columns.  The gradient
         # and H depend only on the current iterate, so predictor and
         # corrector share the factorisation AND the H^{-1} F^T panel.
-        grad = (jnp.einsum("bij,bj->bi", data.Q, st.x) + data.c +
-                jnp.einsum("bij,i->bj", data.F, st.nu) - st.z_l + st.z_u)
-        H = data.Q + _diag_embed(st.z_l / st.s_l + st.z_u / st.s_u)
+        if self.two_float:
+            gh, gl = self._grad_ds(data, st)
+            grad = gh + gl
+        else:
+            grad = (jnp.einsum("bij,bj->bi", data.Q, st.x) + data.c +
+                    jnp.einsum("bij,i->bj", data.F, st.nu) -
+                    st.z_l + st.z_u)
+        H = data.Q + _diag_embed(
+            self._val(st.z_l) / self._val(st.s_l) +
+            self._val(st.z_u) / self._val(st.s_u))
         fact = self._factor_H(H)
         Hinv_FT = self._solve_H_mat(fact, jnp.swapaxes(data.F, 1, 2))
         S_l = jnp.einsum("bij,bjk->ik", data.F, Hinv_FT)
         S = self._psum(S_l, axis_name) + self.delta * jnp.eye(self.m_c, dtype=dt)
-        r_c = self._psum(jnp.einsum("bij,bj->i", data.F, st.x),
-                         axis_name) - data.g
+        if self.two_float:
+            r_c = self._coupling_ds(data, st, axis_name)
+        else:
+            r_c = self._psum(jnp.einsum("bij,bj->i", data.F, st.x),
+                             axis_name) - data.g
 
         # one pivot-floored factorisation of the coupling system, reused
         # by predictor and corrector, with iterative refinement: S carries
         # the squared conditioning of the worst H_b block, and each sweep
-        # costs one (m_c x m_c) matvec + two triangular solves.
+        # costs one (m_c x m_c) matvec + two triangular solves.  Under
+        # two_float the refinement residual rhs - S x is compensated, so
+        # the sweeps actually recover digits instead of recomputing the
+        # f32 rounding noise.
         Ls, Ds = ldlt(S, self.pivot_floor)
 
         def solve_S(rhs):
             x = solve_ldlt(Ls, Ds, rhs)
             for _ in range(self.refine):
-                x = x + solve_ldlt(Ls, Ds, rhs - S @ x)
+                if self.two_float:
+                    from ..ops.twofloat import comp_residual
+                    r = comp_residual(rhs, S, x)
+                else:
+                    r = rhs - S @ x
+                x = x + solve_ldlt(Ls, Ds, r)
             return x
 
         # -- affine predictor --
@@ -272,10 +387,10 @@ class SchurIPM:
 
         # -- centering --
         dx, dsl, dsu, dzl, dzu = d_aff
-        mu_aff_sum = (jnp.sum((st.s_l + alpha_aff * dsl) *
-                              (st.z_l + alpha_aff * dzl)) +
-                      jnp.sum((st.s_u + alpha_aff * dsu) *
-                              (st.z_u + alpha_aff * dzu)))
+        mu_aff_sum = (jnp.sum((self._val(st.s_l) + alpha_aff * dsl) *
+                              (self._val(st.z_l) + alpha_aff * dzl)) +
+                      jnp.sum((self._val(st.s_u) + alpha_aff * dsu) *
+                              (self._val(st.z_u) + alpha_aff * dzu)))
         mu_aff_sum = self._psum(mu_aff_sum, axis_name)
         count = self._psum(jnp.asarray(2 * st.s_l.size, dt), axis_name)
         mu_aff = mu_aff_sum / count
@@ -296,9 +411,10 @@ class SchurIPM:
 
         dx, dsl, dsu, dzl, dzu = d
         new = SchurState(
-            x=st.x + a * dx, s_l=st.s_l + a * dsl, s_u=st.s_u + a * dsu,
-            z_l=st.z_l + a * dzl, z_u=st.z_u + a * dzu,
-            nu=st.nu + a * dnu2, iteration=st.iteration + 1,
+            x=self._axpy(st.x, a, dx), s_l=self._axpy(st.s_l, a, dsl),
+            s_u=self._axpy(st.s_u, a, dsu), z_l=self._axpy(st.z_l, a, dzl),
+            z_u=self._axpy(st.z_u, a, dzu),
+            nu=self._axpy(st.nu, a, dnu2), iteration=st.iteration + 1,
             residual=st.residual, gap=st.gap)
         residual, gap = self._metrics(data, new, axis_name)
         new.residual, new.gap = residual, gap
@@ -308,9 +424,11 @@ class SchurIPM:
         dt = self.dtype
         x = 0.5 * (data.l_x + data.u_x).astype(dt)
         ones = jnp.ones_like(x)
-        st = SchurState(x=x, s_l=x - data.l_x, s_u=data.u_x - x,
-                        z_l=ones, z_u=ones,
-                        nu=jnp.zeros((self.m_c,), dt),
+        # the initial point is exact in working precision: lo words = 0
+        st = SchurState(x=self._pair(x), s_l=self._pair(x - data.l_x),
+                        s_u=self._pair(data.u_x - x),
+                        z_l=self._pair(ones), z_u=self._pair(ones),
+                        nu=self._pair(jnp.zeros((self.m_c,), dt)),
                         iteration=jnp.asarray(0, jnp.int32),
                         residual=jnp.asarray(jnp.inf, dt),
                         gap=jnp.asarray(jnp.inf, dt))
@@ -329,11 +447,13 @@ class SchurIPM:
             cond, lambda s: self._step(data, s, axis_name), st)
 
     def _finalise(self, data, st, axis_name=None):
-        obj = jnp.sum(0.5 * jnp.einsum("bi,bij,bj->b", st.x, data.Q, st.x) +
-                      jnp.einsum("bi,bi->b", data.c, st.x))
+        x = self._val(st.x)
+        obj = jnp.sum(0.5 * jnp.einsum("bi,bij,bj->b", x, data.Q, x) +
+                      jnp.einsum("bi,bi->b", data.c, x))
         obj = self._psum(obj, axis_name)
         return SchurResult(
-            x=st.x, nu=st.nu, objective=obj, iterations=st.iteration,
+            x=x, nu=self._val(st.nu), objective=obj,
+            iterations=st.iteration,
             residual=st.residual, gap=st.gap,
             converged=(st.residual < self.tol) & (st.gap < self.tol))
 
@@ -343,7 +463,7 @@ class SchurIPM:
         jit cache, not silently reuse the stale program."""
         return (id(self.mesh), self.axis, self.tol, self.max_iter,
                 self.refine, self.delta, self.pivot_floor, self.ftb,
-                self.block_kernel)
+                self.block_kernel, self.two_float)
 
     def solve(self, data: BlockQPData) -> SchurResult:
         """Single-device (or fully local) solve; no collectives."""
@@ -358,6 +478,31 @@ class SchurIPM:
             self._solve_key = key
         st = self._solve_jit(data)
         return self._finalise(data, st)
+
+    def solve_batch(self, datas: BlockQPData) -> SchurResult:
+        """Solve a BATCH of independent coupled QP instances: every leaf
+        of ``datas`` carries a leading instance axis (I, ...) — i.e.
+        Q is (I, B, n, n) and g is (I, m_c).  Instances run as vmapped
+        lanes of one program (jax.vmap of the while_loop freezes
+        finished lanes while stragglers iterate), amortising dispatch
+        and filling the chip; the batched Pallas block kernels absorb
+        the extra axis as a grid dimension."""
+        key = self._cache_key()
+        if getattr(self, "_solve_batch_key", None) != key:
+            self._solve_batch_jit = jax.jit(jax.vmap(self._solve_loop))
+            self._solve_batch_key = key
+        st = self._solve_batch_jit(datas)
+        # the vmap axis is leading, so the (hi, lo) pair axis sits at 1
+        val = (lambda v: v[:, 0] + v[:, 1]) if self.two_float else \
+            (lambda v: v)
+        x = val(st.x)                             # (I, B, n)
+        obj = (0.5 * jnp.einsum("abi,abij,abj->a", x, datas.Q, x) +
+               jnp.einsum("abi,abi->a", datas.c, x))
+        return SchurResult(
+            x=x, nu=val(st.nu), objective=obj,
+            iterations=st.iteration,
+            residual=st.residual, gap=st.gap,
+            converged=(st.residual < self.tol) & (st.gap < self.tol))
 
     def solve_sharded(self, data: BlockQPData) -> SchurResult:
         """Distributed solve: blocks sharded over the mesh axis, coupling

@@ -233,3 +233,82 @@ class TestSharded:
         assert bool(res.converged)
         x_ref, f_ref = dense_reference(data)
         np.testing.assert_allclose(np.asarray(res.x), x_ref, atol=1e-5)
+
+
+class TestTwoFloat:
+    """Reference-parity tolerance (1e-8, Optimizer.cpp:124,133) from pure
+    f32 arithmetic: double-single iterates + compensated residuals with
+    working-precision factorisations (SchurIPM(two_float=True)).  Unlike
+    the augmented-KKT path, the Schur elimination factors only SPD
+    blocks whose ill-conditioning is diagonal, so the f32 factor does
+    not set a floor above 1e-8 (see the two_float note in
+    parallel/schur.py)."""
+
+    def test_f32_plain_floors_above_1e8(self):
+        data = make_coupled(blocks=8, n=16, m_c=4, seed=3,
+                            dtype=jnp.float32)
+        ipm = SchurIPM(16, 4, dtype=jnp.float32, tol=1e-8, max_iter=40)
+        res = ipm.solve(data)
+        assert not bool(res.converged), \
+            "plain f32 reached 1e-8 — the two_float mode is redundant; " \
+            "update this table-style pin"
+
+    def test_f32_two_float_reaches_1e8_and_matches_f64(self):
+        data64 = make_coupled(blocks=8, n=16, m_c=4, seed=3)
+        r64 = SchurIPM(16, 4, dtype=jnp.float64, tol=1e-8).solve(data64)
+        assert bool(r64.converged)
+        data32 = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, jnp.float32), data64)
+        rtf = SchurIPM(16, 4, dtype=jnp.float32, tol=1e-8, max_iter=40,
+                       two_float=True, refine=2).solve(data32)
+        assert bool(rtf.converged)
+        # same iterate path as f64 (the DS residuals keep the Newton
+        # directions accurate): iteration counts match within 1 and the
+        # solution agrees to f32 rounding
+        assert abs(int(rtf.iterations) - int(r64.iterations)) <= 1
+        np.testing.assert_allclose(np.asarray(rtf.x),
+                                   np.asarray(r64.x).astype(np.float32),
+                                   atol=5e-6)
+
+    def test_two_float_pallas_kernel(self):
+        data = make_coupled(blocks=8, n=16, m_c=4, seed=7,
+                            dtype=jnp.float32)
+        ipm = SchurIPM(16, 4, dtype=jnp.float32, tol=1e-8, max_iter=40,
+                       two_float=True, refine=2, block_kernel="pallas")
+        res = ipm.solve(data)
+        assert bool(res.converged)
+
+
+class TestSolveBatch:
+    def test_batch_matches_lone_solves(self):
+        datas = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs),
+            *[make_coupled(blocks=4, n=6, m_c=2, seed=s)
+              for s in range(3)])
+        ipm = SchurIPM(6, 2, dtype=jnp.float64, tol=1e-8)
+        rb = ipm.solve_batch(datas)
+        assert bool(jnp.all(rb.converged))
+        for i in range(3):
+            di = jax.tree_util.tree_map(lambda a: a[i], datas)
+            ri = ipm.solve(di)
+            # vmapped lanes keep iterating the whole batch until the
+            # last lane converges, but finished lanes are frozen; the
+            # batched kernels may reduce in a different order, so the
+            # agreement bar is tight-allclose, not bitwise
+            assert abs(int(rb.iterations[i]) - int(ri.iterations)) <= 1
+            np.testing.assert_allclose(np.asarray(rb.x[i]),
+                                       np.asarray(ri.x), atol=1e-8)
+
+    def test_batch_two_float(self):
+        datas = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs),
+            *[make_coupled(blocks=4, n=6, m_c=2, seed=s,
+                           dtype=jnp.float32) for s in range(3)])
+        ipm = SchurIPM(6, 2, dtype=jnp.float32, tol=1e-8, max_iter=40,
+                       two_float=True, refine=2)
+        rb = ipm.solve_batch(datas)
+        assert bool(jnp.all(rb.converged))
+        d0 = jax.tree_util.tree_map(lambda a: a[0], datas)
+        r0 = ipm.solve(d0)
+        np.testing.assert_allclose(np.asarray(rb.x[0]),
+                                   np.asarray(r0.x), atol=1e-5)
