@@ -23,10 +23,16 @@ two-point slope-timed (see ipmzoo_tpu/utils/timing.py): enqueue k
 repetitions + ONE forced host transfer for two values of k; the slope
 cancels dispatch and sync constants.
 
-The default engine measures FULL SOLVES (init -> converged, >=99% of
-instances must converge, counted per-instance) via the compaction
-schedule in CompiledIPM.solve_batch_compact, so a throughput regression
-that broke convergence would fail the benchmark rather than score it.
+The DEFAULT engine (first in the orchestrator's fallback chain) is the
+fused whole-solve Pallas engine: FULL SOLVES (init -> converged,
+>=99.9% of instances must converge, counted per-instance) through
+FusedBatchedIPM.solve_fused_compact — every IPM iteration of a 512-
+instance tile runs entirely in VMEM, with the compaction schedule and
+the anti-cycling Gondzio tail on top.  The XLA compact engine
+(CompiledIPM.solve_batch_compact) and the raw vmapped-step engine are
+the fallbacks.  All three are convergence-gated, so a throughput
+regression that broke convergence would fail the benchmark rather than
+score it.
 """
 
 import json
