@@ -518,8 +518,14 @@ class SchurIPM:
             st = self._solve_loop(data, axis_name=axis)
             return st
 
-        out_specs = SchurState(x=blk, s_l=blk, s_u=blk, z_l=blk, z_u=blk,
-                               nu=rep, iteration=rep, residual=rep, gap=rep)
+        # under two_float the state leaves carry a leading (hi, lo) pair
+        # axis, so the block axis sits at position 1
+        blk_st = P(None, axis) if self.two_float else blk
+        rep_st = P(None) if self.two_float else rep
+        out_specs = SchurState(x=blk_st, s_l=blk_st, s_u=blk_st,
+                               z_l=blk_st, z_u=blk_st,
+                               nu=rep_st, iteration=rep, residual=rep,
+                               gap=rep)
         key = self._cache_key()
         if getattr(self, "_solve_sharded_key", None) != key:
             self._solve_sharded_jit = jax.jit(
@@ -528,10 +534,12 @@ class SchurIPM:
             self._solve_sharded_key = key
         st = self._solve_sharded_jit(data)
         # objective needs a global reduction; do it outside the shard_map
-        obj = jnp.sum(0.5 * jnp.einsum("bi,bij,bj->b", st.x, data.Q, st.x) +
-                      jnp.einsum("bi,bi->b", data.c, st.x))
+        x = self._val(st.x)
+        obj = jnp.sum(0.5 * jnp.einsum("bi,bij,bj->b", x, data.Q, x) +
+                      jnp.einsum("bi,bi->b", data.c, x))
         return SchurResult(
-            x=st.x, nu=st.nu, objective=obj, iterations=st.iteration,
+            x=x, nu=self._val(st.nu), objective=obj,
+            iterations=st.iteration,
             residual=st.residual, gap=st.gap,
             converged=(st.residual < self.tol) & (st.gap < self.tol))
 

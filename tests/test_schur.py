@@ -312,3 +312,17 @@ class TestSolveBatch:
         r0 = ipm.solve(d0)
         np.testing.assert_allclose(np.asarray(rb.x[0]),
                                    np.asarray(r0.x), atol=1e-5)
+
+    def test_sharded_two_float_equals_local(self):
+        mesh = make_mesh((4,), ("dp",), jax.devices()[:4])
+        data = make_coupled(blocks=8, n=4, m_c=2, seed=6,
+                            dtype=jnp.float32)
+        ipm_l = SchurIPM(4, 2, dtype=jnp.float32, tol=1e-8, max_iter=40,
+                         two_float=True, refine=2)
+        ipm_s = SchurIPM(4, 2, dtype=jnp.float32, tol=1e-8, max_iter=40,
+                         two_float=True, refine=2, mesh=mesh, axis="dp")
+        res_l = ipm_l.solve(data)
+        res_s = ipm_s.solve_sharded(data)
+        assert bool(res_l.converged) and bool(res_s.converged)
+        np.testing.assert_allclose(np.asarray(res_s.x),
+                                   np.asarray(res_l.x), atol=1e-6)
