@@ -243,32 +243,41 @@ class CompactScheduleMixin:
                 lambda f, s: f.at[take].set(s), state, s_state)
             diverged = diverged.at[take].set(s_div)
 
+        # escalation BEFORE the mop-up (same ordering the fused engine
+        # adopted in r4): instances at the f32 representation floor can
+        # NEVER satisfy the while-loop's convergence test in working
+        # precision, so running the full-batch mop-up first makes two
+        # floor-stuck lanes burn its entire (max_iter - k0)-step budget
+        # at full batch width — measured r5: 63-66 ms/solve vs 17 ms
+        # with this ordering (2.0M vs 7.6M it/s at tol 1e-6).  Finish
+        # them in two-float pairs first (warm — they are already
+        # near-optimal); the mop-up then only spins on genuine
+        # capacity-overflow actives.
+        if esc_cap:
+            state, diverged = self._escalate_batch(
+                data, state, res_tol, diverged, esc_cap, esc_iters,
+                tail_gondzio)
+
         # Full-batch mop-up: a stage whose active count exceeds its
         # 1/divisor capacity silently leaves instances unconverged (the
-        # gather drops them on the floor) — observed at tol 1e-6, where
-        # stage 1 converges ~6% fewer instances than at 1e-5 and the
-        # 1/8 cap overflows.  The early-exit masked while costs one
-        # cond evaluation when everything already converged, and
-        # full-batch steps only for as long as any instance is active,
-        # so the compact engine is never worse-converging than
-        # solve_batch.  Budget: an instance dropped after stage 1 is
-        # still owed max_iter - k0 iterations; per-instance totals can
-        # therefore exceed max_iter, like the restart tails' cumulative
-        # counts.  Gondzio rounds ride along (free when no lane is
-        # active) so a capacity-dropped cycler at least gets the
-        # corrector, though without the cold restart the tails provide.
+        # gather drops them on the floor) — observed at tol 1e-6 with
+        # the old (12, 8) stage-2 schedule, where stage 1 converged ~6%
+        # fewer instances than at 1e-5 and the 1/8 cap overflowed.  The
+        # early-exit masked while costs one cond evaluation when
+        # everything already converged, and full-batch steps only for
+        # as long as any instance is active, so the compact engine is
+        # never worse-converging than solve_batch.  Budget: an instance
+        # dropped after stage 1 is still owed max_iter - k0 iterations;
+        # per-instance totals can therefore exceed max_iter, like the
+        # restart tails' cumulative counts.  Gondzio rounds ride along
+        # (free when no lane is active) so a capacity-dropped cycler at
+        # least gets the corrector, though without the cold restart the
+        # tails provide.
         done = (state.residual < res_tol) & (state.gap < self.tol)
         state, mop_div = self._masked_while(
             state, data, done | diverged, res_tol,
             max(self.max_iter - schedule[0][0], 0), gondzio=tail_gondzio)
         diverged = diverged | mop_div
-
-        # escalation: finish f32-representation-floor stragglers in
-        # two-float pairs (warm — they are already near-optimal)
-        if esc_cap:
-            state, diverged = self._escalate_batch(
-                data, state, res_tol, diverged, esc_cap, esc_iters,
-                tail_gondzio)
 
         def finish(st, d, rtol, div):
             env = self._env(d, st.vars, st.mu)
@@ -315,12 +324,12 @@ class CompactScheduleMixin:
         if schedule is None:
             if B < 64:
                 schedule = [(self.max_iter, 1)]
-            else:
+            elif self.tol >= 1e-5:
                 # stage 1 must converge >87.5% of the batch or the 1/8
                 # stage-2 cap overflows into the (full-batch-cost)
                 # mop-up: measured p87.5 on the bench workload is 8
-                # iterations at tol 1e-5 but 13-14 at 1e-6
-                k0 = min(self.max_iter, 12 if self.tol >= 1e-5 else 14)
+                # iterations at tol 1e-5
+                k0 = min(self.max_iter, 12)
                 k1 = min(max(self.max_iter - k0, 0), 12)
                 k2 = max(self.max_iter - k0 - k1, 0)
                 schedule = [(k0, 1)]
@@ -328,6 +337,24 @@ class CompactScheduleMixin:
                     schedule.append((k1, 8))
                 if k2:
                     schedule.append((k2, 64))
+            else:
+                # tighter tolerances converge later and wider: at 1e-6
+                # the old (14,1)(12,8)(...,64) schedule left ~450 active
+                # after stage 2 against a 1/64 cap of 160, and the ~300
+                # overflow lanes fell through to the full-batch mop-up
+                # (measured r5: 2.28M it/s).  Wider tail stages hold the
+                # whole distribution: (16,1)(16,4)(rest,32) measures
+                # 7.6M it/s at the same 100% convergence (active counts
+                # after the stages: 443 -> 95 -> 2, no overflow;
+                # tools/compact_sched_probe.py)
+                k0 = min(self.max_iter, 16)
+                k1 = min(max(self.max_iter - k0, 0), 16)
+                k2 = max(self.max_iter - k0 - k1, 0)
+                schedule = [(k0, 1)]
+                if k1:
+                    schedule.append((k1, 4))
+                if k2:
+                    schedule.append((k2, 32))
         key = (B, tuple(schedule), tail_gondzio, tail_restart, esc_cap,
                esc_iters)
         cache = getattr(self, "_compact_cache", None)
