@@ -107,11 +107,19 @@ class SchurIPM:
                  max_iter: int = 100, fraction_to_boundary: float = 0.995,
                  delta: float = 1e-8, pivot_floor: float = PIVOT_FLOOR,
                  refine: int = 1, block_kernel: str = "auto",
-                 two_float: bool = False):
+                 two_float="auto"):
         self.n, self.m_c = n, m_c
         self.mesh, self.axis = mesh, axis
         self.dtype = dtype
         self.tol = tol
+        if two_float == "auto":
+            # an f32 iterate cannot express residuals below ~eps_f32 *
+            # ||Qx|| (measured floor ~8e-7 on the test class), so the
+            # default tol 1e-8 would never converge on a TPU (no native
+            # f64).  Auto-enable the double-single path exactly when the
+            # tolerance sits below what plain working precision reaches.
+            two_float = (jnp.dtype(dtype) == jnp.dtype(jnp.float32)
+                         and tol < 1e-6)
         #: two_float=True carries the iterate as (hi, lo) double-single
         #: pairs (stacked leading-2 axis on every state leaf) and
         #: evaluates the cancellation-dominated quantities — the
@@ -287,10 +295,15 @@ class SchurIPM:
         ph = jnp.moveaxis(ph, 1, 0).reshape(self.m_c, -1)
         pl = jnp.moveaxis(pl, 1, 0).reshape(self.m_c, -1)
         hi, lo = df_sum(ph, pl, axis=-1)
-        # psum hi/lo separately: the cross-device fold loses pair
-        # normalisation but keeps ~2x-precision absolute error
-        hi = self._psum(hi, axis_name)
-        lo = self._psum(lo, axis_name)
+        if axis_name is not None:
+            # a plain psum of the hi parts rounds the cross-device fold
+            # at working precision — measured: it floors the sharded
+            # residual at ~3e-8 while the local path converges to 1e-8.
+            # The coupling row is tiny (m_c floats), so all_gather the
+            # (hi, lo) pairs and tree-fold them in pair arithmetic.
+            hs = jax.lax.all_gather(hi, axis_name)      # (ndev, m_c)
+            ls = jax.lax.all_gather(lo, axis_name)
+            hi, lo = df_sum(hs, ls, axis=0)
         s, e = two_sum(hi, -data.g)
         return s + (e + lo)
 

@@ -247,11 +247,23 @@ class TestTwoFloat:
     def test_f32_plain_floors_above_1e8(self):
         data = make_coupled(blocks=8, n=16, m_c=4, seed=3,
                             dtype=jnp.float32)
-        ipm = SchurIPM(16, 4, dtype=jnp.float32, tol=1e-8, max_iter=40)
+        ipm = SchurIPM(16, 4, dtype=jnp.float32, tol=1e-8, max_iter=40,
+                       two_float=False)
         res = ipm.solve(data)
         assert not bool(res.converged), \
             "plain f32 reached 1e-8 — the two_float mode is redundant; " \
             "update this table-style pin"
+
+    def test_auto_enables_two_float_on_f32_tight_tol(self):
+        # the default tol 1e-8 must be reachable out of the box on a
+        # backend with no native f64 (i.e. every TPU)
+        data = make_coupled(blocks=8, n=16, m_c=4, seed=3,
+                            dtype=jnp.float32)
+        ipm = SchurIPM(16, 4, dtype=jnp.float32, tol=1e-8, max_iter=40)
+        assert ipm.two_float
+        assert bool(ipm.solve(data).converged)
+        assert not SchurIPM(16, 4, dtype=jnp.float32, tol=1e-5).two_float
+        assert not SchurIPM(16, 4, dtype=jnp.float64).two_float
 
     def test_f32_two_float_reaches_1e8_and_matches_f64(self):
         data64 = make_coupled(blocks=8, n=16, m_c=4, seed=3)
