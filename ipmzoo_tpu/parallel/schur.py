@@ -338,7 +338,12 @@ class SchurIPM:
 
     def _step(self, data: BlockQPData, st: SchurState, axis_name):
         dt = self.dtype
-        _, mu = self._metrics(data, st, axis_name)
+        # st.gap is exactly _metrics(data, st)'s gap: init_state and the
+        # end of every step store fresh metrics for the CURRENT iterate,
+        # so re-evaluating here would duplicate a full metrics pass
+        # (under two_float that is a compensated grad + comp + coupling
+        # evaluation — a fifth of the iteration) per step.
+        mu = st.gap
 
         # -- factor the local condensed blocks ONCE per iteration --
         # H_b = Q_b + barrier diagonal is SPD in exact arithmetic but
